@@ -1,0 +1,100 @@
+"""Unit tests for coloring transforms."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wcgan_tpu.ops import coloring
+
+
+def test_color_uncond_is_affine(rng):
+  x = jnp.asarray(rng.standard_normal((64, 8)).astype(np.float32))
+  gamma = jnp.asarray(rng.standard_normal((8, 8)).astype(np.float32))
+  beta = jnp.asarray(rng.standard_normal((8,)).astype(np.float32))
+  out = coloring.color_uncond(x, gamma, beta)
+  np.testing.assert_allclose(
+      np.asarray(out), np.asarray(x) @ np.asarray(gamma).T + np.asarray(beta),
+      rtol=1e-5, atol=1e-5)
+
+
+def test_color_cond_selects_class_filter(rng):
+  n_cls, c = 3, 4
+  x = jnp.asarray(rng.standard_normal((10, c)).astype(np.float32))
+  labels = jnp.asarray(rng.integers(0, n_cls, size=10))
+  gamma_c = jnp.asarray(rng.standard_normal((n_cls, c, c)).astype(np.float32))
+  beta_c = jnp.asarray(rng.standard_normal((n_cls, c)).astype(np.float32))
+  out = coloring.color_cond(x, labels, gamma_c, beta_c)
+  for i in range(10):
+    y = int(labels[i])
+    expected = np.asarray(gamma_c)[y] @ np.asarray(x)[i] + np.asarray(beta_c)[y]
+    np.testing.assert_allclose(np.asarray(out)[i], expected,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_color_cond_agnostic_branch_sums(rng):
+  """Paper Eq. 5: class-specific + class-agnostic branches are summed."""
+  n_cls, c = 2, 4
+  x = jnp.asarray(rng.standard_normal((6, c)).astype(np.float32))
+  labels = jnp.zeros((6,), jnp.int32)
+  gamma_c = jnp.asarray(rng.standard_normal((n_cls, c, c)).astype(np.float32))
+  beta_c = jnp.zeros((n_cls, c))
+  gamma_a = jnp.asarray(rng.standard_normal((c, c)).astype(np.float32))
+  beta_a = jnp.zeros((c,))
+  combined = coloring.color_cond(x, labels, gamma_c, beta_c, gamma_a, beta_a)
+  cls_only = coloring.color_cond(x, labels, gamma_c, beta_c)
+  agn_only = coloring.color_uncond(x, gamma_a, beta_a)
+  np.testing.assert_allclose(np.asarray(combined),
+                             np.asarray(cls_only) + np.asarray(agn_only),
+                             rtol=1e-4, atol=1e-4)
+
+
+def test_color_cond_sa_equals_materialized(rng):
+  """cWC-sa must equal explicitly materialized Gamma^c = sum_k A[y,k] G_k."""
+  n_cls, k, c = 5, 3, 4
+  x = jnp.asarray(rng.standard_normal((12, c)).astype(np.float32))
+  labels = jnp.asarray(rng.integers(0, n_cls, size=12))
+  basis = jnp.asarray(rng.standard_normal((k, c, c)).astype(np.float32))
+  emb = jnp.asarray(rng.standard_normal((n_cls, k)).astype(np.float32))
+  beta = jnp.asarray(rng.standard_normal((n_cls, c)).astype(np.float32))
+  out = coloring.color_cond_sa(x, labels, basis, emb, beta)
+  gamma_full = np.einsum("yk,koc->yoc", np.asarray(emb), np.asarray(basis))
+  for i in range(12):
+    y = int(labels[i])
+    expected = gamma_full[y] @ np.asarray(x)[i] + np.asarray(beta)[y]
+    np.testing.assert_allclose(np.asarray(out)[i], expected,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_conditional_center_scale(rng):
+  x = jnp.asarray(rng.standard_normal((8, 4)).astype(np.float32))
+  labels = jnp.asarray([0, 1] * 4)
+  gamma = jnp.asarray(rng.standard_normal((2, 4)).astype(np.float32))
+  beta = jnp.asarray(rng.standard_normal((2, 4)).astype(np.float32))
+  out = coloring.conditional_center_scale(x, labels, gamma, beta)
+  expected = (np.asarray(x) * np.asarray(gamma)[np.asarray(labels)]
+              + np.asarray(beta)[np.asarray(labels)])
+  np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-5, atol=1e-5)
+
+
+def test_coloring_gradients(rng):
+  """Gradcheck the sa path (the trickiest einsum chain)."""
+  n_cls, k, c = 3, 2, 4
+  x = jnp.asarray(rng.standard_normal((6, c)).astype(np.float32))
+  labels = jnp.asarray(rng.integers(0, n_cls, size=6))
+  basis = jnp.asarray(rng.standard_normal((k, c, c)).astype(np.float32))
+  emb = jnp.asarray(rng.standard_normal((n_cls, k)).astype(np.float32))
+  beta = jnp.zeros((n_cls, c))
+
+  def loss(basis, emb):
+    return jnp.sum(coloring.color_cond_sa(x, labels, basis, emb, beta) ** 2)
+
+  g_basis, g_emb = jax.grad(loss, argnums=(0, 1))(basis, emb)
+  # Finite-difference check on one coordinate of each.
+  epsv = 1e-3
+  for (g, arr, idx) in ((g_basis, basis, (0, 1, 2)), (g_emb, emb, (1, 0))):
+    bumped = arr.at[idx].add(epsv)
+    if arr is basis:
+      fd = (loss(bumped, emb) - loss(arr, emb)) / epsv
+    else:
+      fd = (loss(basis, bumped) - loss(basis, arr)) / epsv
+    np.testing.assert_allclose(float(g[idx]), float(fd), rtol=5e-2, atol=5e-2)

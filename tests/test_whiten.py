@@ -1,0 +1,139 @@
+"""Unit tests for whitening numerics (SURVEY.md §4 unit/numerics plan)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wcgan_tpu.ops import whiten
+
+
+def _random_features(rng, r=4096, c=64, scale=3.0):
+  # Correlated features with a white-noise floor: x = z @ A^T + n + mu.
+  # The floor keeps cond(cov) realistic (~1e2-1e3, like real activations);
+  # without it random A A^T reaches cond ~1e6 where the epsilon jitter
+  # dominates lambda_min and W Sigma W^T - I is bounded by eps/lambda_min
+  # rather than solver accuracy.
+  a = rng.standard_normal((c, c)).astype(np.float32)
+  z = rng.standard_normal((r, c)).astype(np.float32)
+  noise = rng.standard_normal((r, c)).astype(np.float32)
+  mu = (scale * rng.standard_normal((c,))).astype(np.float32)
+  return z @ a.T + noise + mu
+
+
+def test_batch_moments_match_numpy(rng):
+  x = _random_features(rng, r=1024, c=32)
+  mean, cov = whiten.batch_moments(jnp.asarray(x))
+  np.testing.assert_allclose(np.asarray(mean), x.mean(0), rtol=1e-4, atol=1e-4)
+  np.testing.assert_allclose(
+      np.asarray(cov), np.cov(x, rowvar=False, bias=True),
+      rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("c", [16, 64, 128])
+def test_newton_schulz_inverse_sqrt(rng, c):
+  x = _random_features(rng, r=8 * c, c=c)
+  _, cov = whiten.batch_moments(jnp.asarray(x))
+  w = whiten.newton_schulz_inv_sqrt(cov, num_iters=30)
+  ident = np.asarray(w @ cov @ w.T)
+  # f32 floor scales with cond(cov) — random full C x C covariances here
+  # reach cond ~1e6 at C=128 (measured ~2.5e-3 residual at convergence).
+  np.testing.assert_allclose(ident, np.eye(c), atol=1e-2)
+
+
+def test_newton_schulz_matches_cholesky_whitening(rng):
+  # Different W factors (NS gives the symmetric root, Cholesky the
+  # triangular one) but both must whiten: W Sigma W^T = I.
+  x = _random_features(rng, r=2048, c=48)
+  _, cov = whiten.batch_moments(jnp.asarray(x))
+  for w in (whiten.newton_schulz_inv_sqrt(cov, num_iters=20),
+            whiten.cholesky_inv_sqrt(cov)):
+    ident = np.asarray(w @ cov @ w.T)
+    np.testing.assert_allclose(ident, np.eye(48), atol=5e-3)
+
+
+def test_newton_schulz_sqrt_roundtrip(rng):
+  x = _random_features(rng, r=2048, c=32)
+  _, cov = whiten.batch_moments(jnp.asarray(x))
+  s = whiten.newton_schulz_sqrt(cov, num_iters=25)
+  np.testing.assert_allclose(np.asarray(s @ s), np.asarray(cov),
+                             rtol=2e-2, atol=2e-2)
+
+
+def test_whitened_output_is_white(rng):
+  """Property test: whitened features have mean ~0 and covariance ~I."""
+  x = jnp.asarray(_random_features(rng, r=4096, c=64))
+  mm = jnp.zeros((64,))
+  mc = jnp.eye(64)
+  out, _, _ = whiten.whiten_train(x, mm, mc, num_iters=20)
+  mean, cov = whiten.batch_moments(out)
+  np.testing.assert_allclose(np.asarray(mean), np.zeros(64), atol=1e-3)
+  np.testing.assert_allclose(np.asarray(cov), np.eye(64), atol=1e-2)
+
+
+def test_moving_stats_ema(rng):
+  x = jnp.asarray(_random_features(rng, r=1024, c=16))
+  mm = jnp.ones((16,))
+  mc = 2.0 * jnp.eye(16)
+  _, new_mm, new_mc = whiten.whiten_train(x, mm, mc, momentum=0.9)
+  mean, cov = whiten.batch_moments(x)
+  np.testing.assert_allclose(np.asarray(new_mm),
+                             0.9 * np.ones(16) + 0.1 * np.asarray(mean),
+                             rtol=1e-5, atol=1e-5)
+  np.testing.assert_allclose(np.asarray(new_mc),
+                             0.9 * 2.0 * np.eye(16) + 0.1 * np.asarray(cov),
+                             rtol=1e-5, atol=1e-5)
+
+
+def test_whiten_eval_uses_running_stats(rng):
+  x = jnp.asarray(_random_features(rng, r=2048, c=16))
+  mean, cov = whiten.batch_moments(x)
+  out = whiten.whiten_eval(x, mean, cov, num_iters=20)
+  m2, c2 = whiten.batch_moments(out)
+  np.testing.assert_allclose(np.asarray(m2), np.zeros(16), atol=1e-3)
+  np.testing.assert_allclose(np.asarray(c2), np.eye(16), atol=1e-2)
+
+
+def test_whiten_gradients_finite(rng):
+  x = jnp.asarray(_random_features(rng, r=512, c=16))
+
+  def loss(x):
+    out, _, _ = whiten.whiten_train(x, jnp.zeros(16), jnp.eye(16))
+    return jnp.sum(out ** 2)
+
+  g = jax.grad(loss)(x)
+  assert np.isfinite(np.asarray(g)).all()
+
+
+def test_constant_and_zero_inputs_stay_finite(rng):
+  """Regression: constant rows once NaN'd via catastrophic cancellation in
+  the one-pass covariance (negative diagonal rounding junk -> NS diverged).
+  """
+  c = 32
+  const = jnp.asarray(
+      np.tile(rng.standard_normal((1, c)).astype(np.float32), (256, 1)))
+  for x in (const, jnp.zeros((256, c))):
+    out, _, _ = whiten.whiten_train(x, jnp.zeros(c), jnp.eye(c))
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_large_mean_cancellation_regime(rng):
+  """mu >> sigma: the regime where E[xx^T] - mu mu^T loses all precision."""
+  c = 32
+  x = jnp.asarray(
+      (rng.standard_normal((512, c)) * 0.01 + 1000.0).astype(np.float32))
+  out, _, _ = whiten.whiten_train(x, jnp.zeros(c), jnp.eye(c), num_iters=20)
+  mean, cov = whiten.batch_moments(out)
+  np.testing.assert_allclose(np.asarray(mean), np.zeros(c), atol=2e-2)
+  np.testing.assert_allclose(np.asarray(cov), np.eye(c), atol=2e-2)
+
+
+def test_ill_conditioned_covariance(rng):
+  """Early-training regime: near-singular covariance must not blow up."""
+  # Rank-deficient features (c=32 but only 4 effective dims).
+  z = rng.standard_normal((1024, 4)).astype(np.float32)
+  proj = rng.standard_normal((4, 32)).astype(np.float32)
+  x = jnp.asarray(z @ proj)
+  out, _, _ = whiten.whiten_train(
+      x, jnp.zeros(32), jnp.eye(32), eps=1e-3, num_iters=20)
+  assert np.isfinite(np.asarray(out)).all()

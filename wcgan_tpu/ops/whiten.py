@@ -1,0 +1,220 @@
+"""Batch whitening numerics — the core of the WC transform.
+
+TPU-native reimplementation of the reference's ``DecorelationNormalization``
+Keras layer (``conditional_layers.py::DecorelationNormalization`` [U],
+paper Eq. 2–4): per-batch channel mean and full covariance, inverse square
+root, and application ``x_hat = Sigma^{-1/2} (x - mu)``.
+
+Design notes (TPU-first, see SURVEY.md §7 hard-part #1):
+
+- The reference uses ``tf.cholesky`` + triangular solve. Triangular solves
+  lower poorly on TPU (sequential); the idiomatic choice is the coupled
+  **Newton–Schulz** iteration — pure matmuls that run on the MXU. A
+  Cholesky-based path is kept as the correctness oracle / fallback.
+- All moment and iteration matmuls run in float32 with HIGHEST precision:
+  measured on TPU v5 lite, Newton–Schulz plateaus at ~2e-2 error under
+  default bf16 MXU passes but converges to ~1e-6 in <=15 iterations with
+  float32 dots.
+- Cross-replica semantics: moments (count, sum, sum of outer products) are
+  reduced with ``lax.pmean`` over a named mesh axis *before* the inverse
+  square root, so whitening statistics match global-batch semantics under
+  data parallelism (BASELINE.json:"north_star").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# float32 + HIGHEST everywhere in the whitening math. bf16 MXU passes do not
+# converge for Newton--Schulz (measured; see module docstring).
+_HIGHEST = lax.Precision.HIGHEST
+
+
+def _f32(x: jax.Array) -> jax.Array:
+  return x.astype(jnp.float32)
+
+
+def batch_moments(
+    x2d: jax.Array,
+    axis_name: Optional[str] = None,
+) -> Tuple[jax.Array, jax.Array]:
+  """Mean and covariance of rows of ``x2d`` ((R, C) -> ((C,), (C, C))).
+
+  When ``axis_name`` is given (inside ``shard_map``/``pmap``), raw moments
+  E[x] and E[x x^T] are averaged across replicas first, so the returned
+  covariance is the covariance of the *global* batch — the reference's
+  single-device semantics extended to a TPU mesh. We reduce raw moments,
+  never whitening matrices (SURVEY.md §7 hard-part #3).
+  """
+  x2d = _f32(x2d)
+  mean = jnp.mean(x2d, axis=0)
+  if axis_name is not None:
+    mean = lax.pmean(mean, axis_name)
+  # Two-pass centered formula: Sigma = (x-mu)^T (x-mu) / R. The one-pass
+  # E[xx^T] - mu mu^T cancels catastrophically in f32 when |mu| >> sigma
+  # (constant features then yield *negative* diagonal rounding junk that
+  # makes Newton-Schulz diverge — found by a rank-1-input probe).
+  # Centering against the already-reduced global mean keeps per-replica
+  # covariances exactly averageable: with equal shard sizes,
+  # pmean_r[(x_r-mu)^T (x_r-mu)/R_r] is the global-batch covariance.
+  xc = x2d - mean
+  cov = jnp.matmul(xc.T, xc, precision=_HIGHEST) / x2d.shape[0]
+  if axis_name is not None:
+    cov = lax.pmean(cov, axis_name)
+  return mean, cov
+
+
+def _jittered_normalized(cov, eps):
+  """(cov + eps*mean_diag*I) / trace — scale-relative jitter + trace norm.
+
+  The jitter is *relative* to the mean diagonal (unlike the reference's
+  absolute epsilon) so conditioning is controlled uniformly regardless of
+  activation scale — important early in training when covariance magnitudes
+  swing by orders of magnitude.
+  """
+  cov = _f32(cov)
+  c = cov.shape[-1]
+  ident = jnp.eye(c, dtype=jnp.float32)
+  # Diagonal of the centered covariance is a sum of squares (>= 0 up to
+  # rounding); clamp anyway, and keep a small absolute floor so an all-zero
+  # covariance (constant features) stays SPD instead of NaN-ing the
+  # iteration.
+  mean_diag = jnp.maximum(jnp.trace(cov) / c, 0.0)
+  a = cov + (eps * mean_diag + 1e-12) * ident
+  trace = jnp.trace(a)
+  a = a / trace
+  return a, trace, ident
+
+
+def _ns_body(ident, _, yz):
+  y, z = yz
+  t = 1.5 * ident - 0.5 * jnp.matmul(z, y, precision=_HIGHEST)
+  y = jnp.matmul(y, t, precision=_HIGHEST)
+  z = jnp.matmul(t, z, precision=_HIGHEST)
+  return y, z
+
+
+def newton_schulz_inv_sqrt(
+    cov: jax.Array,
+    num_iters: int = 15,
+    eps: float = 1e-5,
+) -> jax.Array:
+  """Inverse principal square root of an SPD matrix via coupled Newton–Schulz.
+
+  Returns W with ``W @ cov @ W.T ~= I``. Matmul-only — maps onto the MXU
+  with no data-dependent control flow; replaces the reference's
+  Cholesky + triangular solve (``DecorelationNormalization.call`` [U]).
+
+  The iteration operates on ``A = (cov + eps I) / tr`` (trace
+  normalization guarantees ||I - A|| < 1 so the iteration converges):
+    Y_0 = A, Z_0 = I
+    T_k = (3 I - Z_k Y_k) / 2
+    Y_{k+1} = Y_k T_k,  Z_{k+1} = T_k Z_k
+  Z_k -> A^{-1/2}, so cov^{-1/2} = Z / sqrt(tr).
+  """
+  a, trace, ident = _jittered_normalized(cov, eps)
+  _, z = lax.fori_loop(0, num_iters, functools.partial(_ns_body, ident),
+                       (a, ident))
+  return z / jnp.sqrt(trace)
+
+
+def newton_schulz_sqrt(
+    cov: jax.Array,
+    num_iters: int = 15,
+    eps: float = 1e-5,
+) -> jax.Array:
+  """Principal square root (Y branch of the same coupled iteration).
+
+  Used by the coloring-from-running-stats ('dr') inference path and by the
+  FID Fréchet-distance term (eval/fid.py).
+  """
+  a, trace, ident = _jittered_normalized(cov, eps)
+  y, _ = lax.fori_loop(0, num_iters, functools.partial(_ns_body, ident),
+                       (a, ident))
+  return y * jnp.sqrt(trace)
+
+
+def cholesky_inv_sqrt(cov: jax.Array, eps: float = 1e-5) -> jax.Array:
+  """Cholesky-based inverse square root — the correctness oracle.
+
+  Matches the reference's decomposition choice
+  (``DecorelationNormalization`` uses Cholesky, paper Eq. 3 [U]). Returns
+  the *lower-triangular* L^{-1} with L L^T = cov, so W @ cov @ W.T = I.
+  Lowers on TPU but serializes; prefer :func:`newton_schulz_inv_sqrt` in
+  the hot path.
+  """
+  cov = _f32(cov)
+  c = cov.shape[-1]
+  ident = jnp.eye(c, dtype=jnp.float32)
+  mean_diag = jnp.trace(cov) / c
+  chol = jnp.linalg.cholesky(cov + (eps * mean_diag + 1e-20) * ident)
+  return lax.linalg.triangular_solve(
+      chol, ident, left_side=True, lower=True)
+
+
+def whiten_apply(x2d: jax.Array, mean: jax.Array, w: jax.Array) -> jax.Array:
+  """``(x - mean) @ W^T`` — the whitening application, rows = samples."""
+  out = jnp.matmul(_f32(x2d) - mean, w.T, precision=_HIGHEST)
+  return out.astype(x2d.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_iters", "method"))
+def inv_sqrt(cov, num_iters: int = 15, eps: float = 1e-5,
+             method: str = "newton_schulz"):
+  """Dispatch helper: 'newton_schulz' (TPU hot path) or 'cholesky' (oracle)."""
+  if method == "newton_schulz":
+    return newton_schulz_inv_sqrt(cov, num_iters=num_iters, eps=eps)
+  if method == "cholesky":
+    return cholesky_inv_sqrt(cov, eps=eps)
+  raise ValueError(f"unknown inv-sqrt method: {method!r}")
+
+
+def whiten_train(
+    x2d: jax.Array,
+    moving_mean: jax.Array,
+    moving_cov: jax.Array,
+    *,
+    momentum: float = 0.99,
+    eps: float = 1e-5,
+    num_iters: int = 15,
+    axis_name: Optional[str] = None,
+    method: str = "newton_schulz",
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+  """Training-mode whitening from batch statistics ('d' mode).
+
+  Returns (whitened x2d, new_moving_mean, new_moving_cov). Moving stats
+  follow the reference's BN-style EMA (``moving_mean``/``moving_cov``
+  updated with momentum, used at inference;
+  ``DecorelationNormalization`` [U]).
+  """
+  mean, cov = batch_moments(x2d, axis_name=axis_name)
+  if method == "cholesky":
+    w = cholesky_inv_sqrt(cov, eps=eps)
+  else:
+    w = newton_schulz_inv_sqrt(cov, num_iters=num_iters, eps=eps)
+  out = whiten_apply(x2d, mean, w)
+  new_mean = momentum * _f32(moving_mean) + (1.0 - momentum) * mean
+  new_cov = momentum * _f32(moving_cov) + (1.0 - momentum) * cov
+  return out, new_mean, new_cov
+
+
+def whiten_eval(
+    x2d: jax.Array,
+    moving_mean: jax.Array,
+    moving_cov: jax.Array,
+    *,
+    eps: float = 1e-5,
+    num_iters: int = 15,
+    method: str = "newton_schulz",
+) -> jax.Array:
+  """Inference-mode whitening from running statistics."""
+  if method == "cholesky":
+    w = cholesky_inv_sqrt(_f32(moving_cov), eps=eps)
+  else:
+    w = newton_schulz_inv_sqrt(_f32(moving_cov), num_iters=num_iters, eps=eps)
+  return whiten_apply(x2d, _f32(moving_mean), w)
