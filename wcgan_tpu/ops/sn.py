@@ -17,6 +17,7 @@ Flags mirrored from the reference CLI [U]:
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence, Tuple
 
 import jax
@@ -30,6 +31,7 @@ def _l2_normalize(v: jax.Array, eps: float = 1e-12) -> jax.Array:
   return v * lax.rsqrt(jnp.sum(jnp.square(v)) + eps)
 
 
+@functools.partial(jax.jit, static_argnames=("n_iters", "fully_diff"))
 def power_iteration(
     w2d: jax.Array,
     u: jax.Array,
@@ -64,6 +66,7 @@ def power_iteration(
   return sigma, u_new, v
 
 
+@functools.partial(jax.jit, static_argnames=("n_iters", "fully_diff"))
 def spectral_normalize(
     kernel: jax.Array,
     u: jax.Array,
@@ -86,6 +89,9 @@ def spectral_normalize(
   return w_bar, u_new.astype(u.dtype)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("strides", "padding", "n_iters", "fully_diff"))
 def conv_power_iteration(
     kernel: jax.Array,
     u_map: jax.Array,

@@ -39,6 +39,7 @@ def _f32(x: jax.Array) -> jax.Array:
   return x.astype(jnp.float32)
 
 
+@functools.partial(jax.jit, static_argnames=("axis_name",))
 def batch_moments(
     x2d: jax.Array,
     axis_name: Optional[str] = None,
@@ -91,14 +92,28 @@ def _jittered_normalized(cov, eps):
   return a, trace, ident
 
 
-def _ns_body(ident, _, yz):
-  y, z = yz
-  t = 1.5 * ident - 0.5 * jnp.matmul(z, y, precision=_HIGHEST)
-  y = jnp.matmul(y, t, precision=_HIGHEST)
-  z = jnp.matmul(t, z, precision=_HIGHEST)
+def _ns_iterate(a, ident, num_iters):
+  """Run the coupled Newton–Schulz iteration; returns (Y, Z).
+
+  Implemented with ``lax.scan`` (not ``fori_loop``) so the whole whitening
+  transform is reverse-mode differentiable — the backward pass through the
+  iteration is the standard way to differentiate the inverse square root
+  (IterNorm / decorrelated-BN practice), and XLA unrolls/fuses the small
+  C×C matmuls either way.
+  """
+
+  def body(yz, _):
+    y, z = yz
+    t = 1.5 * ident - 0.5 * jnp.matmul(z, y, precision=_HIGHEST)
+    y = jnp.matmul(y, t, precision=_HIGHEST)
+    z = jnp.matmul(t, z, precision=_HIGHEST)
+    return (y, z), None
+
+  (y, z), _ = lax.scan(body, (a, ident), None, length=num_iters)
   return y, z
 
 
+@functools.partial(jax.jit, static_argnames=("num_iters",))
 def newton_schulz_inv_sqrt(
     cov: jax.Array,
     num_iters: int = 15,
@@ -118,11 +133,11 @@ def newton_schulz_inv_sqrt(
   Z_k -> A^{-1/2}, so cov^{-1/2} = Z / sqrt(tr).
   """
   a, trace, ident = _jittered_normalized(cov, eps)
-  _, z = lax.fori_loop(0, num_iters, functools.partial(_ns_body, ident),
-                       (a, ident))
+  _, z = _ns_iterate(a, ident, num_iters)
   return z / jnp.sqrt(trace)
 
 
+@functools.partial(jax.jit, static_argnames=("num_iters",))
 def newton_schulz_sqrt(
     cov: jax.Array,
     num_iters: int = 15,
@@ -134,8 +149,7 @@ def newton_schulz_sqrt(
   FID Fréchet-distance term (eval/fid.py).
   """
   a, trace, ident = _jittered_normalized(cov, eps)
-  y, _ = lax.fori_loop(0, num_iters, functools.partial(_ns_body, ident),
-                       (a, ident))
+  y, _ = _ns_iterate(a, ident, num_iters)
   return y * jnp.sqrt(trace)
 
 
@@ -174,6 +188,9 @@ def inv_sqrt(cov, num_iters: int = 15, eps: float = 1e-5,
   raise ValueError(f"unknown inv-sqrt method: {method!r}")
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("momentum", "eps", "num_iters", "axis_name", "method"))
 def whiten_train(
     x2d: jax.Array,
     moving_mean: jax.Array,
@@ -203,6 +220,8 @@ def whiten_train(
   return out, new_mean, new_cov
 
 
+@functools.partial(
+    jax.jit, static_argnames=("eps", "num_iters", "method"))
 def whiten_eval(
     x2d: jax.Array,
     moving_mean: jax.Array,
