@@ -1,0 +1,142 @@
+"""Model-level tests: shapes, state collections, conditioning, SN gating."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wcgan_tpu.models.discriminator import Discriminator, DiscriminatorConfig
+from wcgan_tpu.models.generator import Generator, GeneratorConfig
+
+KEY = jax.random.PRNGKey(0)
+
+
+def tiny_gcfg(**kw):
+  base = dict(z_dim=16, resolution=16, base_resolution=4, filters=(16, 16),
+              ns_iters=8)
+  base.update(kw)
+  return GeneratorConfig(**base)
+
+
+def tiny_dcfg(**kw):
+  base = dict(resolution=16, filters=(16, 16, 16),
+              downsample=(True, True, False))
+  base.update(kw)
+  return DiscriminatorConfig(**base)
+
+
+@pytest.mark.parametrize("arch", ["res", "dcgan"])
+def test_generator_output_shape_and_range(arch):
+  g = Generator(cfg=tiny_gcfg(arch=arch))
+  z = jax.random.normal(KEY, (4, 16))
+  variables = g.init(KEY, z, train=True)
+  out, _ = g.apply(variables, z, train=True, mutable=["wc_stats"])
+  assert out.shape == (4, 16, 16, 3)
+  assert np.isfinite(np.asarray(out)).all()
+  assert np.abs(np.asarray(out)).max() <= 1.0  # tanh range
+
+
+@pytest.mark.parametrize("arch", ["res", "dcgan"])
+def test_discriminator_shapes(arch):
+  dcfg = (tiny_dcfg(arch=arch) if arch == "res"
+          else tiny_dcfg(arch=arch, filters=(16, 16),
+                         downsample=(True, True)))
+  d = Discriminator(cfg=dcfg)
+  x = jax.random.normal(KEY, (4, 16, 16, 3))
+  variables = d.init(KEY, x, train=True)
+  (score, logits), _ = d.apply(variables, x, train=True,
+                               mutable=["spectral"])
+  assert score.shape == (4,)
+  assert logits is None
+
+
+@pytest.mark.parametrize("coloring", ["cconv", "ucconv", "cconv-sa",
+                                      "ucconv-sa", "ccs", "ucs"])
+def test_conditional_generator_labels_matter(coloring):
+  g = Generator(cfg=tiny_gcfg(block_coloring=coloring,
+                              last_coloring="uconv", num_classes=4))
+  z = jax.random.normal(KEY, (4, 16))
+  y0 = jnp.zeros((4,), jnp.int32)
+  y1 = jnp.ones((4,), jnp.int32)
+  variables = g.init(KEY, z, y0, train=True)
+
+  # Class params init identically across classes (or near-zero), so fresh
+  # classes can coincide; give each class a distinct offset on every
+  # class-indexed parameter (leading dim == num_classes) only.
+  def perturb(p):
+    if p.ndim >= 1 and p.shape[0] == 4:
+      shift = jnp.arange(4, dtype=p.dtype).reshape((4,) + (1,) * (p.ndim - 1))
+      return p + 0.3 * shift
+    return p
+  variables = jax.tree_util.tree_map(perturb, variables)
+  out0, _ = g.apply(variables, z, y0, train=True, mutable=["wc_stats"])
+  out1, _ = g.apply(variables, z, y1, train=True, mutable=["wc_stats"])
+  assert not np.allclose(np.asarray(out0), np.asarray(out1))
+
+
+def test_projection_discriminator_uses_labels():
+  d = Discriminator(cfg=tiny_dcfg(projection=True, num_classes=4))
+  x = jax.random.normal(KEY, (4, 16, 16, 3))
+  y0 = jnp.zeros((4,), jnp.int32)
+  y1 = jnp.ones((4,), jnp.int32)
+  variables = d.init(KEY, x, y0, train=True)
+  (s0, _), _ = d.apply(variables, x, y0, train=True, mutable=["spectral"])
+  (s1, _), _ = d.apply(variables, x, y1, train=True, mutable=["spectral"])
+  assert not np.allclose(np.asarray(s0), np.asarray(s1))
+
+
+def test_ac_gan_head():
+  d = Discriminator(cfg=tiny_dcfg(ac_gan=True, num_classes=4))
+  x = jax.random.normal(KEY, (4, 16, 16, 3))
+  variables = d.init(KEY, x, train=True)
+  (_, logits), _ = d.apply(variables, x, train=True, mutable=["spectral"])
+  assert logits.shape == (4, 4)
+
+
+def test_sn_u_update_gated():
+  d = Discriminator(cfg=tiny_dcfg())
+  x = jax.random.normal(KEY, (4, 16, 16, 3))
+  variables = d.init(KEY, x, train=True)
+  u0 = variables["spectral"]["fc_out"]["u"]
+  _, mut = d.apply(variables, x, train=True, update_sn=False,
+                   mutable=["spectral"])
+  assert np.allclose(np.asarray(mut["spectral"]["fc_out"]["u"]),
+                     np.asarray(u0))
+  _, mut = d.apply(variables, x, train=True, update_sn=True,
+                   mutable=["spectral"])
+  assert not np.allclose(np.asarray(mut["spectral"]["fc_out"]["u"]),
+                         np.asarray(u0))
+
+
+def test_wc_stats_update_and_eval_path():
+  g = Generator(cfg=tiny_gcfg())
+  z = jax.random.normal(KEY, (16, 16))
+  variables = g.init(KEY, z, train=True)
+  stats0 = variables["wc_stats"]
+  out, mut = g.apply(variables, z, train=True, mutable=["wc_stats"])
+  leaf0 = jax.tree_util.tree_leaves(stats0)[0]
+  leaf1 = jax.tree_util.tree_leaves(mut["wc_stats"])[0]
+  assert not np.allclose(np.asarray(leaf0), np.asarray(leaf1))
+  # Eval mode: no mutation needed, deterministic output.
+  out_eval = g.apply(variables, z, train=False)
+  out_eval2 = g.apply(variables, z, train=False)
+  np.testing.assert_array_equal(np.asarray(out_eval), np.asarray(out_eval2))
+
+
+def test_generator_grads_flow():
+  g = Generator(cfg=tiny_gcfg())
+  z = jax.random.normal(KEY, (8, 16))
+  variables = g.init(KEY, z, train=True)
+  params = variables["params"]
+
+  def loss(params):
+    out, _ = g.apply({"params": params}, z, train=True,
+                     mutable=["wc_stats"])
+    return jnp.mean(out ** 2)
+
+  grads = jax.grad(loss)(params)
+  flat = jax.tree_util.tree_leaves(grads)
+  assert all(np.isfinite(np.asarray(x)).all() for x in flat)
+  # Every parameter gets signal (no dead branches).
+  nonzero = [float(jnp.max(jnp.abs(x))) > 0 for x in flat]
+  assert all(nonzero), f"dead grads: {sum(not n for n in nonzero)} leaves"

@@ -1,0 +1,449 @@
+"""Flax layers: whitening norm, coloring, and spectral-normalized wrappers.
+
+TPU-native re-design of the reference's custom Keras layers
+(``conditional_layers.py::DecorelationNormalization / ConditionalConv11 /
+ConditionalDense / ConditionalCenterScale / CenterScale`` and
+``gan/spectral_normalized_layers.py::SNConv2D / SNDense / SNEmbeding`` [U];
+citations per SURVEY.md §0 convention — upstream mount was empty, symbols
+reconstructed). The Keras layers mutate state (moving stats, power-iteration
+``u``) inside ``call``; here all state is explicit in flax variable
+collections so a whole K-step train program jits as one pure function
+(SURVEY.md §3.3 / §7 hard-part #4):
+
+- ``params``    — learned weights.
+- ``wc_stats``  — whitening moving mean / covariance (BN-style EMA).
+- ``spectral``  — persistent power-iteration vectors.
+
+Norm / coloring code vocabulary (mirrors the reference CLI's per-block code
+strings [U]; spellings documented in cli/run.py):
+
+  norm:     'n' none | 'b' batchnorm | 'd' whitening (batch stats)
+            | 'dr' whitening (running stats)
+  coloring: 'n' none | 's' scale-shift | 'ucs' uncond+cond scale-shift
+            | 'ccs' conditional scale-shift | 'uconv' uncond 1x1
+            | 'cconv' conditional 1x1 | 'ucconv' uncond+cond 1x1
+            + '-sa' suffix on conditional convs for soft-assignment basis
+              (cWC-sa, paper §4.1; K = filters_emb)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from jax import lax
+
+from wcgan_tpu.ops import coloring as coloring_ops
+from wcgan_tpu.ops import sn as sn_ops
+from wcgan_tpu.ops import whiten as whiten_ops
+
+Dtype = Any
+
+_COND_CODES = ("cconv", "ucconv", "ccs", "ucs", "cconv-sa", "ucconv-sa")
+NORM_CODES = ("n", "b", "d", "dr")
+COLORING_CODES = ("n", "s", "ccs", "ucs", "uconv", "cconv", "ucconv",
+                  "cconv-sa", "ucconv-sa")
+
+
+def coloring_is_conditional(code: str) -> bool:
+  return code in _COND_CODES
+
+
+class DecorrelationNorm(nn.Module):
+  """Full-covariance batch whitening (the WC transform's W half).
+
+  Reference: ``conditional_layers.py::DecorelationNormalization`` [U],
+  paper Eq. 2–4. Differences by design: inverse square root via
+  Newton–Schulz matmuls (MXU) instead of Cholesky + triangular solve, and
+  cross-replica moment ``pmean`` over ``axis_name`` for exact global-batch
+  whitening statistics under data parallelism.
+
+  mode 'd'  — whiten with this batch's statistics (training).
+  mode 'dr' — whiten with the running statistics (still EMA-updating them
+              from the batch): the reference's 'dr' variant [U].
+  """
+
+  momentum: float = 0.99
+  eps: float = 1e-5
+  ns_iters: int = 15
+  mode: str = "d"
+  method: str = "newton_schulz"  # or "cholesky" (oracle)
+  axis_name: Optional[str] = None
+
+  @nn.compact
+  def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+    c = x.shape[-1]
+    r_mean = self.variable("wc_stats", "mean",
+                           lambda: jnp.zeros((c,), jnp.float32))
+    r_cov = self.variable("wc_stats", "cov",
+                          lambda: jnp.eye(c, dtype=jnp.float32))
+    x2d = x.reshape(-1, c)
+    axis = None if self.is_initializing() else self.axis_name
+
+    if not train:
+      out = whiten_ops.whiten_eval(
+          x2d, r_mean.value, r_cov.value, eps=self.eps,
+          num_iters=self.ns_iters, method=self.method)
+      return out.reshape(x.shape)
+
+    if self.mode == "d":
+      out, new_mean, new_cov = whiten_ops.whiten_train(
+          x2d, r_mean.value, r_cov.value, momentum=self.momentum,
+          eps=self.eps, num_iters=self.ns_iters, axis_name=axis,
+          method=self.method)
+    elif self.mode == "dr":
+      mean, cov = whiten_ops.batch_moments(x2d, axis_name=axis)
+      out = whiten_ops.whiten_eval(
+          x2d, r_mean.value, r_cov.value, eps=self.eps,
+          num_iters=self.ns_iters, method=self.method)
+      new_mean = self.momentum * r_mean.value + (1 - self.momentum) * mean
+      new_cov = self.momentum * r_cov.value + (1 - self.momentum) * cov
+    else:
+      raise ValueError(f"unknown whitening mode {self.mode!r}")
+
+    if not self.is_initializing():
+      r_mean.value = new_mean
+      r_cov.value = new_cov
+    return out.reshape(x.shape)
+
+
+class NormLayer(nn.Module):
+  """Dispatch on the norm code: 'n' / 'b' / 'd' / 'dr'.
+
+  'b' is affine-less BatchNorm (the learned affine comes from the coloring
+  layer, as in the reference where norm and coloring are separate per-block
+  codes [U])."""
+
+  code: str = "d"
+  momentum: float = 0.99
+  eps: float = 1e-5
+  ns_iters: int = 15
+  method: str = "newton_schulz"
+  axis_name: Optional[str] = None
+
+  @nn.compact
+  def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+    if self.code == "n":
+      return x
+    if self.code == "b":
+      return nn.BatchNorm(
+          use_running_average=not train, momentum=self.momentum,
+          epsilon=self.eps, use_bias=False, use_scale=False,
+          axis_name=None if self.is_initializing() else self.axis_name,
+          name="bn")(x)
+    if self.code in ("d", "dr"):
+      return DecorrelationNorm(
+          momentum=self.momentum, eps=self.eps, ns_iters=self.ns_iters,
+          mode=self.code, method=self.method, axis_name=self.axis_name,
+          name="wc")(x, train=train)
+    raise ValueError(f"unknown norm code {self.code!r}")
+
+
+def _rows_labels(labels: jax.Array, x: jax.Array) -> jax.Array:
+  """Broadcast per-image labels (N,) to per-row labels (N*H*W,)."""
+  hw = 1
+  for d in x.shape[1:-1]:
+    hw *= d
+  return jnp.repeat(labels, hw)
+
+
+class Coloring(nn.Module):
+  """Learned coloring Γx̂+β — all variants behind one code string.
+
+  Reference: the coloring half of the WC block
+  (``ConditionalConv11`` / ``ConditionalCenterScale`` / ``CenterScale``
+  [U], paper Eq. 5 and §4.1 for the '-sa' soft-assignment factorization).
+  1×1 convs over NHWC are computed as matmuls over flattened
+  (N·H·W, C) rows — the MXU-native formulation.
+  """
+
+  code: str = "uconv"
+  num_classes: int = 0
+  filters_emb: int = 10  # K basis filters for '-sa' (--filters_emb [U])
+  param_dtype: Dtype = jnp.float32
+
+  @nn.compact
+  def __call__(self, x: jax.Array,
+               labels: Optional[jax.Array] = None) -> jax.Array:
+    code = self.code
+    if code == "n":
+      return x
+    c = x.shape[-1]
+    pd = self.param_dtype
+    if coloring_is_conditional(code):
+      if labels is None:
+        raise ValueError(f"coloring code {code!r} requires labels")
+      if self.num_classes <= 0:
+        raise ValueError("conditional coloring requires num_classes > 0")
+
+    if code == "s":
+      gamma = self.param("gamma", nn.initializers.ones, (c,), pd)
+      beta = self.param("beta", nn.initializers.zeros, (c,), pd)
+      return coloring_ops.center_scale(x, gamma, beta)
+
+    if code in ("ccs", "ucs"):
+      gamma_c = self.param("gamma_c", nn.initializers.ones,
+                           (self.num_classes, c), pd)
+      beta_c = self.param("beta_c", nn.initializers.zeros,
+                          (self.num_classes, c), pd)
+      x2d = x.reshape(-1, c)
+      rows = _rows_labels(labels, x)
+      out = coloring_ops.conditional_center_scale(x2d, rows, gamma_c, beta_c)
+      if code == "ucs":
+        gamma = self.param("gamma", nn.initializers.ones, (c,), pd)
+        beta = self.param("beta", nn.initializers.zeros, (c,), pd)
+        out = coloring_ops.center_scale(out, gamma, beta)
+      return out.reshape(x.shape)
+
+    # 1x1-conv family. Identity-like init: whitened input passes through
+    # unchanged at step 0 (stabilizes early training when Sigma is wild).
+    def eye_init(key, shape, dtype):
+      del key
+      return jnp.eye(shape[0], shape[1], dtype=dtype)
+
+    x2d = x.reshape(-1, c)
+    out = None
+    if code in ("uconv", "ucconv", "ucconv-sa"):
+      gamma_a = self.param("gamma_a", eye_init, (c, c), pd)
+      beta_a = self.param("beta_a", nn.initializers.zeros, (c,), pd)
+      out = coloring_ops.color_uncond(x2d, gamma_a, beta_a)
+    if code in ("cconv", "ucconv"):
+      gamma_c = self.param("gamma_c", nn.initializers.normal(stddev=0.02),
+                           (self.num_classes, c, c), pd)
+      beta_c = self.param("beta_c", nn.initializers.zeros,
+                          (self.num_classes, c), pd)
+      rows = _rows_labels(labels, x)
+      cond = coloring_ops.color_cond(x2d, rows, gamma_c, beta_c)
+      if code == "cconv":
+        # Pure-conditional: identity skip so the near-zero-init class
+        # filters start as identity coloring (stable early training).
+        out = cond + x2d
+      else:
+        out = out + cond
+    if code in ("cconv-sa", "ucconv-sa"):
+      basis = self.param("basis", nn.initializers.normal(stddev=0.02),
+                         (self.filters_emb, c, c), pd)
+      emb = self.param("embedding", nn.initializers.ones,
+                       (self.num_classes, self.filters_emb), pd)
+      beta_c = self.param("beta_c", nn.initializers.zeros,
+                          (self.num_classes, c), pd)
+      rows = _rows_labels(labels, x)
+      cond = coloring_ops.color_cond_sa(x2d, rows, basis, emb, beta_c)
+      if code == "cconv-sa":
+        cond = cond + x2d  # identity skip
+        out = cond
+      else:
+        out = out + cond
+    if out is None:
+      raise ValueError(f"unknown coloring code {code!r}")
+    return out.reshape(x.shape)
+
+
+class NormColor(nn.Module):
+  """The full WC block: norm code + coloring code, reference-style pairing.
+
+  This is the unit the reference inserts before every activation in G
+  (``blocks.py::resblock(norm=..., coloring=...)`` [U])."""
+
+  norm: str = "d"
+  coloring: str = "uconv"
+  num_classes: int = 0
+  filters_emb: int = 10
+  momentum: float = 0.99
+  eps: float = 1e-5
+  ns_iters: int = 15
+  method: str = "newton_schulz"
+  axis_name: Optional[str] = None
+
+  @nn.compact
+  def __call__(self, x: jax.Array, labels: Optional[jax.Array] = None,
+               train: bool = True) -> jax.Array:
+    x = NormLayer(code=self.norm, momentum=self.momentum, eps=self.eps,
+                  ns_iters=self.ns_iters, method=self.method,
+                  axis_name=self.axis_name, name="norm")(x, train=train)
+    x = Coloring(code=self.coloring, num_classes=self.num_classes,
+                 filters_emb=self.filters_emb, name="color")(x, labels)
+    return x
+
+
+# --- Spectral-normalized wrappers -------------------------------------------
+
+
+class SNDense(nn.Module):
+  """Dense layer with spectral-normalized kernel (``SNDense`` [U])."""
+
+  features: int
+  use_bias: bool = True
+  sn_iters: int = 1
+  fully_diff: bool = False
+  dtype: Optional[Dtype] = None
+  param_dtype: Dtype = jnp.float32
+  kernel_init: Any = nn.initializers.glorot_uniform()
+
+  @nn.compact
+  def __call__(self, x: jax.Array, update_sn: bool = False) -> jax.Array:
+    kernel = self.param("kernel", self.kernel_init,
+                        (x.shape[-1], self.features), self.param_dtype)
+    u = self.variable(
+        "spectral", "u",
+        lambda: jax.random.normal(self.make_rng("params")
+                                  if self.has_rng("params") else
+                                  jax.random.PRNGKey(0),
+                                  (self.features,), jnp.float32))
+    w_bar, u_new = sn_ops.spectral_normalize(
+        kernel, u.value, n_iters=self.sn_iters, fully_diff=self.fully_diff)
+    if update_sn and not self.is_initializing():
+      u.value = u_new
+    y = jnp.matmul(x, w_bar.astype(x.dtype))
+    if self.use_bias:
+      bias = self.param("bias", nn.initializers.zeros,
+                        (self.features,), self.param_dtype)
+      y = y + bias.astype(y.dtype)
+    return y
+
+
+class SNConv(nn.Module):
+  """2-D conv with spectral-normalized kernel (``SNConv2D`` [U]).
+
+  ``conv_singular=True`` estimates σ of the conv *operator* (power
+  iteration through conv / conv-transpose) instead of the reshaped-kernel
+  matrix (``--conv_singular`` [U])."""
+
+  features: int
+  kernel_size: Tuple[int, int] = (3, 3)
+  strides: Tuple[int, int] = (1, 1)
+  padding: str = "SAME"
+  use_bias: bool = True
+  sn_iters: int = 1
+  fully_diff: bool = False
+  conv_singular: bool = False
+  dtype: Optional[Dtype] = None
+  param_dtype: Dtype = jnp.float32
+  kernel_init: Any = nn.initializers.glorot_uniform()
+
+  @nn.compact
+  def __call__(self, x: jax.Array, update_sn: bool = False) -> jax.Array:
+    kh, kw = self.kernel_size
+    cin = x.shape[-1]
+    kernel = self.param("kernel", self.kernel_init,
+                        (kh, kw, cin, self.features), self.param_dtype)
+    if self.conv_singular:
+      u_map = self.variable(
+          "spectral", "u_map",
+          lambda: jax.random.normal(
+              jax.random.PRNGKey(0), (1,) + x.shape[1:], jnp.float32))
+      sigma, u_new = sn_ops.conv_power_iteration(
+          kernel, u_map.value, strides=self.strides, padding=self.padding,
+          n_iters=self.sn_iters, fully_diff=self.fully_diff)
+      w_bar = kernel / sigma.astype(kernel.dtype)
+      if update_sn and not self.is_initializing():
+        u_map.value = u_new
+    else:
+      u = self.variable(
+          "spectral", "u",
+          lambda: jax.random.normal(
+              jax.random.PRNGKey(0), (self.features,), jnp.float32))
+      w_bar, u_new = sn_ops.spectral_normalize(
+          kernel, u.value, n_iters=self.sn_iters, fully_diff=self.fully_diff)
+      if update_sn and not self.is_initializing():
+        u.value = u_new
+
+    dn = lax.conv_dimension_numbers(x.shape, w_bar.shape,
+                                    ("NHWC", "HWIO", "NHWC"))
+    y = lax.conv_general_dilated(
+        x, w_bar.astype(x.dtype), window_strides=self.strides,
+        padding=self.padding, dimension_numbers=dn)
+    if self.use_bias:
+      bias = self.param("bias", nn.initializers.zeros,
+                        (self.features,), self.param_dtype)
+      y = y + bias.astype(y.dtype)
+    return y
+
+
+class SNEmbed(nn.Module):
+  """Spectral-normalized embedding (``SNEmbeding`` [U]) — projection-D's
+  class embedding ψ(y) with σ(W)-normalized embedding matrix."""
+
+  num_classes: int
+  features: int
+  sn_iters: int = 1
+  fully_diff: bool = False
+  param_dtype: Dtype = jnp.float32
+
+  @nn.compact
+  def __call__(self, labels: jax.Array, update_sn: bool = False) -> jax.Array:
+    table = self.param("embedding", nn.initializers.glorot_uniform(),
+                       (self.num_classes, self.features), self.param_dtype)
+    u = self.variable(
+        "spectral", "u",
+        lambda: jax.random.normal(
+            jax.random.PRNGKey(0), (self.features,), jnp.float32))
+    w_bar, u_new = sn_ops.spectral_normalize(
+        table, u.value, n_iters=self.sn_iters, fully_diff=self.fully_diff)
+    if update_sn and not self.is_initializing():
+      u.value = u_new
+    return jnp.take(w_bar, labels, axis=0)
+
+
+class Conv(nn.Module):
+  """Plain conv with the same call signature as SNConv (ignores update_sn),
+  so blocks can swap SN on/off via a single class switch."""
+
+  features: int
+  kernel_size: Tuple[int, int] = (3, 3)
+  strides: Tuple[int, int] = (1, 1)
+  padding: str = "SAME"
+  use_bias: bool = True
+  dtype: Optional[Dtype] = None
+  param_dtype: Dtype = jnp.float32
+  kernel_init: Any = nn.initializers.glorot_uniform()
+
+  @nn.compact
+  def __call__(self, x: jax.Array, update_sn: bool = False) -> jax.Array:
+    del update_sn
+    return nn.Conv(
+        features=self.features, kernel_size=self.kernel_size,
+        strides=self.strides, padding=self.padding, use_bias=self.use_bias,
+        dtype=self.dtype, param_dtype=self.param_dtype,
+        kernel_init=self.kernel_init, name="conv")(x)
+
+
+class Dense(nn.Module):
+  """Plain dense with SNDense-compatible call signature."""
+
+  features: int
+  use_bias: bool = True
+  dtype: Optional[Dtype] = None
+  param_dtype: Dtype = jnp.float32
+  kernel_init: Any = nn.initializers.glorot_uniform()
+
+  @nn.compact
+  def __call__(self, x: jax.Array, update_sn: bool = False) -> jax.Array:
+    del update_sn
+    return nn.Dense(
+        features=self.features, use_bias=self.use_bias, dtype=self.dtype,
+        param_dtype=self.param_dtype, kernel_init=self.kernel_init,
+        name="dense")(x)
+
+
+def upsample_nearest(x: jax.Array, factor: int = 2) -> jax.Array:
+  """Nearest-neighbor 2x upsample as reshape+broadcast (layout-friendly;
+  avoids gather-based ``jax.image.resize`` on TPU)."""
+  n, h, w, c = x.shape
+  x = jnp.broadcast_to(x[:, :, None, :, None, :],
+                       (n, h, factor, w, factor, c))
+  return x.reshape(n, h * factor, w * factor, c)
+
+
+def downsample_avg(x: jax.Array, factor: int = 2) -> jax.Array:
+  """2x average pool (the reference's down-resample [U])."""
+  n, h, w, c = x.shape
+  x = x.reshape(n, h // factor, factor, w // factor, factor, c)
+  return jnp.mean(x, axis=(2, 4))
+
+
+def global_sum_pool(x: jax.Array) -> jax.Array:
+  """Global sum pool over H, W (SN-GAN D head convention)."""
+  return jnp.sum(x, axis=(1, 2))
