@@ -1,0 +1,143 @@
+"""Fused outer-step tests: single-device, variants, and the fake-mesh
+data-parallel invariants (SURVEY.md §4)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from wcgan_tpu.models.discriminator import Discriminator, DiscriminatorConfig
+from wcgan_tpu.models.generator import Generator, GeneratorConfig
+from wcgan_tpu.ops import whiten
+from wcgan_tpu.parallel import DATA_AXIS, make_mesh
+from wcgan_tpu.train import schedules
+from wcgan_tpu.train.state import create_state
+from wcgan_tpu.train.step import (GANConfig, make_jit_step,
+                                  make_outer_step, make_sharded_step)
+
+KEY = jax.random.PRNGKey(42)
+RES = 8
+ZDIM = 8
+
+
+def build(num_classes=0, projection=False, ac_gan=False, loss="hinge",
+          gp=0.0, axis_name=None, d_norm="n"):
+  gcfg = GeneratorConfig(
+      z_dim=ZDIM, resolution=RES, base_resolution=4, filters=(8,),
+      block_norm="d", block_coloring="uconv", last_norm="d",
+      last_coloring="uconv", num_classes=num_classes, ns_iters=6,
+      axis_name=axis_name)
+  dcfg = DiscriminatorConfig(
+      resolution=RES, filters=(8, 8), downsample=(True, False),
+      num_classes=num_classes, projection=projection, ac_gan=ac_gan,
+      norm=d_norm, ns_iters=6, axis_name=axis_name)
+  g, d = Generator(cfg=gcfg), Discriminator(cfg=dcfg)
+  cfg = GANConfig(loss=loss,
+                  gan_type=("projection" if projection else
+                            "acgan" if ac_gan else "gan"),
+                  training_ratio=2, generator_batch_multiple=2,
+                  gradient_penalty_weight=gp, num_classes=num_classes,
+                  z_dim=ZDIM)
+  g_tx = schedules.adam(2e-4)
+  d_tx = schedules.adam(2e-4)
+  return g, d, g_tx, d_tx, cfg
+
+
+def init_state(g, d, g_tx, d_tx, cfg, batch=4):
+  return create_state(g, d, g_tx, d_tx, KEY, batch_size=batch,
+                      z_dim=ZDIM, image_shape=(RES, RES, 3),
+                      num_classes=cfg.num_classes)
+
+
+def fake_batch(cfg, batch=4):
+  k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+  real = jax.random.uniform(k1, (cfg.training_ratio, batch, RES, RES, 3),
+                            minval=-1, maxval=1)
+  labels = (jax.random.randint(k2, (cfg.training_ratio, batch), 0,
+                               max(cfg.num_classes, 1), jnp.int32))
+  return real, labels
+
+
+def _leaf_changed(a, b):
+  return any(not np.allclose(np.asarray(x), np.asarray(y))
+             for x, y in zip(jax.tree_util.tree_leaves(a),
+                             jax.tree_util.tree_leaves(b)))
+
+
+def test_outer_step_updates_everything():
+  g, d, g_tx, d_tx, cfg = build()
+  state = init_state(g, d, g_tx, d_tx, cfg)
+  step_fn = make_jit_step(g, d, g_tx, d_tx, cfg, donate=False)
+  real, labels = fake_batch(cfg)
+  new_state, metrics = step_fn(state, real, labels)
+  assert int(new_state.step) == 1
+  for m in metrics.values():
+    assert np.isfinite(float(m))
+  assert _leaf_changed(state.g_params, new_state.g_params)
+  assert _leaf_changed(state.d_params, new_state.d_params)
+  assert _leaf_changed(state.d_state["spectral"], new_state.d_state["spectral"])
+  assert _leaf_changed(state.g_state["wc_stats"], new_state.g_state["wc_stats"])
+  # Two steps: rng advances, losses keep finite.
+  s3, m2 = step_fn(new_state, real, labels)
+  assert int(s3.step) == 2
+  assert not np.array_equal(np.asarray(new_state.rng), np.asarray(s3.rng))
+
+
+@pytest.mark.parametrize("kind", ["projection", "acgan", "wgan-gp",
+                                  "d_norm"])
+def test_outer_step_variants(kind):
+  kwargs = dict(num_classes=4)
+  loss = "hinge"
+  gp = 0.0
+  if kind == "projection":
+    kwargs["projection"] = True
+  elif kind == "acgan":
+    kwargs["ac_gan"] = True
+  elif kind == "wgan-gp":
+    loss, gp = "wgan-gp", 10.0
+    kwargs = {}
+  elif kind == "d_norm":
+    kwargs = dict(d_norm="d")
+  g, d, g_tx, d_tx, cfg = build(loss=loss, gp=gp, **kwargs)
+  state = init_state(g, d, g_tx, d_tx, cfg)
+  step_fn = make_jit_step(g, d, g_tx, d_tx, cfg, donate=False)
+  real, labels = fake_batch(cfg)
+  new_state, metrics = step_fn(state, real, labels)
+  assert all(np.isfinite(float(m)) for m in metrics.values())
+  assert _leaf_changed(state.g_params, new_state.g_params)
+
+
+def test_sharded_step_runs_and_stays_replicated():
+  mesh = make_mesh()
+  assert mesh.devices.size == 8, "conftest should give 8 CPU devices"
+  g, d, g_tx, d_tx, cfg = build(axis_name=DATA_AXIS)
+  state = init_state(g, d, g_tx, d_tx, cfg, batch=16)
+  step_fn = make_sharded_step(mesh, g, d, g_tx, d_tx, cfg, donate=False)
+  real, labels = fake_batch(cfg, batch=16)
+  new_state, metrics = step_fn(state, real, labels)
+  assert all(np.isfinite(float(m)) for m in metrics.values())
+  assert _leaf_changed(state.g_params, new_state.g_params)
+  # Replication contract: every state leaf must be fully replicated.
+  for leaf in jax.tree_util.tree_leaves(new_state):
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_global_batch_whitening_invariant():
+  """Cross-replica moments == single-device moments of the global batch —
+  the north star's global-batch-semantics invariant (SURVEY.md §4)."""
+  mesh = make_mesh()
+  rng = np.random.default_rng(3)
+  x = jnp.asarray(rng.standard_normal((64, 16)).astype(np.float32) * 2 + 1)
+
+  local = functools.partial(whiten.batch_moments, axis_name=DATA_AXIS)
+  sharded = jax.jit(jax.shard_map(
+      local, mesh=mesh, in_specs=P(DATA_AXIS), out_specs=P()))
+  mean_s, cov_s = sharded(x)
+  mean_g, cov_g = whiten.batch_moments(x)
+  np.testing.assert_allclose(np.asarray(mean_s), np.asarray(mean_g),
+                             atol=1e-5)
+  np.testing.assert_allclose(np.asarray(cov_s), np.asarray(cov_g),
+                             atol=1e-5)

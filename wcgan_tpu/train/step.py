@@ -1,0 +1,258 @@
+"""The fused train step: K discriminator updates + 1 generator update
+compiled as ONE XLA program.
+
+This is the TPU-native replacement for the reference's hot loop
+(``gan/train.py::Trainer.train_one_epoch`` [U], SURVEY.md §3.1), where
+every D/G update was a separate ``sess.run`` with host↔device transfers.
+Here the whole outer step — ``training_ratio`` D updates (hinge/ns/wgan ±
+GP ± AC aux), one G update on a ``generator_batch_multiple``-sized batch,
+both Adams, SN power-iteration state, WC moving stats, LR schedules, and
+z/label sampling — is a single jitted program; z is drawn on-device.
+
+Data parallelism: ``make_sharded_step`` wraps the same function in
+``shard_map`` over a 1-D ``data`` mesh; gradients and losses are
+``pmean``-ed explicitly, and the WC layers' moment reduction rides the
+same axis name (cross-replica covariance all-reduce,
+BASELINE.json:"north_star").
+
+Semantic notes vs the reference (documented divergences):
+- During D updates the (frozen) G runs in train mode (batch-stat
+  whitening, matching Keras learning_phase=1) but its moving stats are
+  NOT advanced; stats advance only on the G update. [Keras would advance
+  them on every forward; one advance per outer step is the cleaner
+  semantics and is flagged here for the parity record.]
+- SN ``u`` vectors advance once per D update (real+fake scored in one
+  concatenated forward when D has no norm), not once per Keras
+  ``train_on_batch``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.6 moved shard_map out of experimental
+  from jax import shard_map
+except ImportError:  # pragma: no cover
+  from jax.experimental.shard_map import shard_map
+
+from wcgan_tpu.ops import losses as loss_ops
+from wcgan_tpu.parallel.mesh import DATA_AXIS
+from wcgan_tpu.train.state import GANTrainState
+
+
+@dataclasses.dataclass(frozen=True)
+class GANConfig:
+  """Objective + update-schedule config (the reference's ``GAN`` /
+  ``ProjectiveGAN`` / ``AC_GAN`` compile layer + Trainer knobs [U])."""
+
+  loss: str = "hinge"                 # hinge | ns | wgan | wgan-gp
+  gan_type: str = "gan"               # gan | projection | acgan
+  training_ratio: int = 5             # --training_ratio [U]
+  generator_batch_multiple: int = 2   # --generator_batch_multiple [U]
+  gradient_penalty_weight: float = 0.0  # --gradient_penalty_weight [U]
+  num_classes: int = 0
+  z_dim: int = 128
+  axis_name: Optional[str] = None
+  sn_update_on_g_step: bool = False
+
+  @property
+  def conditional(self) -> bool:
+    return self.num_classes > 0
+
+
+def _pmean(tree, axis_name):
+  if axis_name is None:
+    return tree
+  return lax.pmean(tree, axis_name)
+
+
+def _merge(state_dict, mut):
+  """Overlay mutated collections onto the stored ones (plain dicts)."""
+  out = dict(state_dict)
+  out.update(flax.core.unfreeze(mut))
+  return out
+
+
+def make_outer_step(
+    g_module,
+    d_module,
+    g_tx: optax.GradientTransformation,
+    d_tx: optax.GradientTransformation,
+    cfg: GANConfig,
+) -> Callable[[GANTrainState, jax.Array, jax.Array],
+              Tuple[GANTrainState, Dict[str, jax.Array]]]:
+  """Build the fused outer-step function (not yet jitted/sharded).
+
+  Args of the returned fn:
+    state: GANTrainState.
+    real: (training_ratio, B, H, W, C) real images in [-1, 1] — one
+      B-batch per D update, supplied by the input pipeline.
+    labels: (training_ratio, B) int32 labels (all-zeros if unconditional).
+  Returns (new_state, metrics) with scalar d_loss / g_loss means.
+  """
+  d_loss_fn, g_loss_fn = loss_ops.get_losses(cfg.loss)
+  axis = cfg.axis_name
+  d_cfg = getattr(d_module, "cfg", None)
+  d_has_norm = d_cfg is not None and (d_cfg.norm != "n" or
+                                      d_cfg.coloring != "n")
+  d_takes_labels = cfg.conditional and d_cfg is not None and (
+      d_cfg.projection or d_cfg.ac_gan or d_cfg.num_classes > 0)
+
+  def g_apply(params, g_state, z, zy, want_mutable):
+    variables = {"params": params, **g_state}
+    mutable = list(g_state.keys()) if want_mutable else False
+    if mutable:
+      fake, mut = g_module.apply(variables, z, zy, train=True,
+                                 mutable=mutable)
+      return fake, mut
+    return g_module.apply(variables, z, zy, train=True), {}
+
+  def d_apply(params, d_state, x, y, update_sn):
+    variables = {"params": params, **d_state}
+    mutable = list(d_state.keys())
+    if mutable:
+      out, mut = d_module.apply(variables, x, y, train=True,
+                                update_sn=update_sn, mutable=mutable)
+      return out, mut
+    return d_module.apply(variables, x, y, train=True,
+                          update_sn=update_sn), {}
+
+  def d_update(state: GANTrainState, x, y, rng):
+    b = x.shape[0]
+    rng_z, rng_y, rng_gp = jax.random.split(rng, 3)
+    z = jax.random.normal(rng_z, (b, cfg.z_dim), jnp.float32)
+    zy = (jax.random.randint(rng_y, (b,), 0, cfg.num_classes, jnp.int32)
+          if cfg.conditional else None)
+    fake, _ = g_apply(state.g_params, state.g_state, z, zy,
+                      want_mutable=bool(state.g_state))
+    fake = lax.stop_gradient(fake)
+    y_in = y if d_takes_labels else None
+    zy_in = zy if d_takes_labels else None
+
+    def loss_fn(d_params):
+      if d_has_norm:
+        # Whitening/BN inside D: keep real/fake batch statistics separate
+        # (mixing them would change the norm semantics).
+        (rs, rl), mut = d_apply(d_params, state.d_state, x, y_in,
+                                update_sn=True)
+        (fs, _), _ = d_apply(d_params, state.d_state, fake, zy_in,
+                             update_sn=False)
+      else:
+        # Hot path: one concatenated forward — one SN power iteration,
+        # bigger matmuls for the MXU.
+        xx = jnp.concatenate([x, fake], axis=0)
+        yy = (jnp.concatenate([y_in, zy_in], axis=0)
+              if y_in is not None else None)
+        (scores, logits), mut = d_apply(d_params, state.d_state, xx, yy,
+                                        update_sn=True)
+        rs, fs = scores[:b], scores[b:]
+        rl = logits[:b] if logits is not None else None
+      loss = d_loss_fn(rs, fs)
+      if cfg.gradient_penalty_weight > 0.0:
+        def score_only(xi):
+          (s, _), _ = d_apply(d_params, state.d_state, xi, y_in,
+                              update_sn=False)
+          return s
+        loss = loss + loss_ops.gradient_penalty(
+            score_only, x, fake, rng_gp,
+            weight=cfg.gradient_penalty_weight)
+      if cfg.gan_type == "acgan" and rl is not None:
+        loss = loss + loss_ops.ac_gan_aux_loss(rl, y)
+      return loss, mut
+
+    (loss, mut), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.d_params)
+    grads = _pmean(grads, axis)
+    loss = _pmean(loss, axis)
+    updates, d_opt = d_tx.update(grads, state.d_opt, state.d_params)
+    d_params = optax.apply_updates(state.d_params, updates)
+    state = state.replace(d_params=d_params, d_opt=d_opt,
+                          d_state=_merge(state.d_state, mut))
+    return state, loss
+
+  def g_update(state: GANTrainState, rng, g_batch):
+    rng_z, rng_y = jax.random.split(rng)
+    z = jax.random.normal(rng_z, (g_batch, cfg.z_dim), jnp.float32)
+    zy = (jax.random.randint(rng_y, (g_batch,), 0, cfg.num_classes,
+                             jnp.int32) if cfg.conditional else None)
+    zy_in = zy if d_takes_labels else None
+
+    def loss_fn(g_params):
+      fake, mut = g_apply(g_params, state.g_state, z, zy,
+                          want_mutable=bool(state.g_state))
+      (fs, fl), _ = d_apply(state.d_params, state.d_state, fake, zy_in,
+                            update_sn=cfg.sn_update_on_g_step)
+      loss = g_loss_fn(fs)
+      if cfg.gan_type == "acgan" and fl is not None:
+        loss = loss + loss_ops.ac_gan_aux_loss(fl, zy)
+      return loss, mut
+
+    (loss, mut), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.g_params)
+    grads = _pmean(grads, axis)
+    loss = _pmean(loss, axis)
+    updates, g_opt = g_tx.update(grads, state.g_opt, state.g_params)
+    g_params = optax.apply_updates(state.g_params, updates)
+    return state.replace(g_params=g_params, g_opt=g_opt,
+                         g_state=_merge(state.g_state, mut)), loss
+
+  def outer_step(state: GANTrainState, real: jax.Array,
+                 labels: jax.Array
+                 ) -> Tuple[GANTrainState, Dict[str, jax.Array]]:
+    ratio, b = real.shape[0], real.shape[1]
+    if ratio != cfg.training_ratio:
+      raise ValueError(f"got {ratio} D batches, expected "
+                       f"training_ratio={cfg.training_ratio}")
+    next_rng, use_rng = jax.random.split(state.rng)
+    if axis is not None:
+      # Per-replica divergence for z/label draws; state.rng stays
+      # replicated (next_rng derives from the replicated base only).
+      use_rng = jax.random.fold_in(use_rng, lax.axis_index(axis))
+
+    def d_scan_body(carry, xs):
+      x, y, k = xs
+      carry, loss = d_update(carry, x, y, jax.random.fold_in(use_rng, k))
+      return carry, loss
+
+    state, d_losses = lax.scan(
+        d_scan_body, state,
+        (real, labels, jnp.arange(ratio, dtype=jnp.int32)))
+
+    state, g_loss = g_update(
+        state, jax.random.fold_in(use_rng, ratio),
+        b * cfg.generator_batch_multiple)
+    state = state.replace(rng=next_rng, step=state.step + 1)
+    metrics = {"d_loss": jnp.mean(d_losses), "g_loss": g_loss}
+    return state, metrics
+
+  return outer_step
+
+
+def make_jit_step(g_module, d_module, g_tx, d_tx, cfg: GANConfig,
+                  donate: bool = True):
+  """Single-device jitted outer step."""
+  fn = make_outer_step(g_module, d_module, g_tx, d_tx,
+                       dataclasses.replace(cfg, axis_name=None))
+  return jax.jit(fn, donate_argnums=(0,) if donate else ())
+
+
+def make_sharded_step(mesh: Mesh, g_module, d_module, g_tx, d_tx,
+                      cfg: GANConfig, donate: bool = True):
+  """Data-parallel outer step over ``mesh``: batch sharded on the 'data'
+  axis, state replicated; grads/losses pmean-ed inside; the WC layers'
+  moment psum rides the same axis (set the models' ``axis_name``!)."""
+  cfg = dataclasses.replace(cfg, axis_name=DATA_AXIS)
+  fn = make_outer_step(g_module, d_module, g_tx, d_tx, cfg)
+  sharded = shard_map(
+      fn, mesh=mesh,
+      in_specs=(P(), P(None, DATA_AXIS), P(None, DATA_AXIS)),
+      out_specs=(P(), P()))
+  return jax.jit(sharded, donate_argnums=(0,) if donate else ())
