@@ -1,0 +1,64 @@
+"""End-to-end CLI test — SURVEY.md §4 integration tier: short synthetic
+run through the real entry point, artifacts produced, resume works."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from wcgan_tpu.cli.run import main
+
+TINY = [
+    "--platform", "auto",  # conftest already pinned cpu in-process
+    "--dataset", "synthetic", "--arch", "dcgan",
+    "--batch_size", "8", "--training_ratio", "2",
+    "--generator_filters", "16,16,16", "--discriminator_filters", "16,16",
+    "--synthetic_size", "128", "--ns_iters", "6",
+    "--batches_per_epoch", "3", "--checkpoint_ratio", "1",
+]
+
+
+@pytest.fixture(scope="module")
+def rundirs(tmp_path_factory):
+  root = tmp_path_factory.mktemp("e2e")
+  out, ckpt = str(root / "out"), str(root / "ckpt")
+  argv = TINY + ["--output_dir", out, "--checkpoints_dir", ckpt,
+                 "--number_of_epochs", "2", "--name", "smoke"]
+  assert main(argv) == 0
+  return out, ckpt, argv
+
+
+def test_artifacts_produced(rundirs):
+  out, ckpt, _ = rundirs
+  run_out = os.path.join(out, "smoke")
+  assert os.path.exists(os.path.join(run_out, "log.txt"))
+  assert os.path.exists(os.path.join(run_out, "epoch_00000.png"))
+  with open(os.path.join(run_out, "metrics.jsonl")) as f:
+    records = [json.loads(line) for line in f]
+  assert any("d_loss" in r for r in records)
+  for r in records:
+    for k in ("d_loss", "g_loss"):
+      if k in r:
+        assert np.isfinite(r[k])
+  ckpt_run = os.path.join(ckpt, "smoke")
+  assert os.path.isdir(os.path.join(ckpt_run, "epoch_1"))
+  assert os.path.exists(os.path.join(ckpt_run, "epoch_1_generator.npz"))
+  assert os.path.exists(
+      os.path.join(ckpt_run, "epoch_1_discriminator.npz"))
+
+
+def test_resume_and_test_phase(rundirs):
+  out, ckpt, argv = rundirs
+  resumed = argv + ["--number_of_epochs", "3", "--start_epoch", "2",
+                    "--resume", "auto"]  # later flags win in argparse
+  assert main(resumed) == 0
+  with open(os.path.join(out, "smoke", "log.txt")) as f:
+    text = f.read()
+  assert "resumed from" in text
+  assert "Epoch 2:" in text
+
+  gweights = os.path.join(ckpt, "smoke", "epoch_1_generator.npz")
+  testargs = argv + ["--phase", "test",
+                     "--generator_checkpoint", gweights]
+  assert main(testargs) == 0

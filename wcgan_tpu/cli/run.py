@@ -1,0 +1,309 @@
+"""Experiment entry point — the reference's CLI contract, TPU-native.
+
+Mirrors ``run.py::main`` + ``gan/cmd.py::parser_with_default_args`` [U]:
+same flag names, defaults and norm/coloring code vocabulary wherever the
+survey could reconstruct them (SURVEY.md §2a; spellings are the
+highest-risk [U] items — re-verify against the reference if its mount
+ever appears). TPU-specific additions are grouped under "TPU options".
+
+Usage (reference-style):
+  python run.py --dataset cifar10 --arch res --loss hinge \
+      --generator_block_norm d --generator_block_coloring uconv \
+      --number_of_epochs 50
+  python run.py --phase test --generator_checkpoint <dir>
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+from wcgan_tpu.data import DATASETS, get_dataset
+from wcgan_tpu.models.discriminator import (Discriminator,
+                                            DiscriminatorConfig)
+from wcgan_tpu.models.discriminator import preset_filters as d_presets
+from wcgan_tpu.models.generator import Generator, GeneratorConfig
+from wcgan_tpu.models.generator import preset_filters as g_presets
+from wcgan_tpu.models.layers import COLORING_CODES, NORM_CODES
+from wcgan_tpu.parallel import DATA_AXIS, make_mesh
+from wcgan_tpu.train import schedules
+from wcgan_tpu.train.step import GANConfig
+from wcgan_tpu.train.trainer import Trainer, TrainerConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+  p = argparse.ArgumentParser(
+      description="wcgan_tpu — TPU-native WC-GAN training")
+
+  # --- gan/cmd.py::parser_with_default_args surface [U] ---
+  p.add_argument("--name", default=None,
+                 help="experiment name (default: derived from config)")
+  p.add_argument("--output_dir", default="output")
+  p.add_argument("--checkpoints_dir", default="checkpoints")
+  p.add_argument("--batch_size", type=int, default=64)
+  p.add_argument("--number_of_epochs", type=int, default=100)
+  p.add_argument("--training_ratio", type=int, default=5)
+  p.add_argument("--generator_batch_multiple", type=int, default=2)
+  p.add_argument("--generator_lr", type=float, default=2e-4)
+  p.add_argument("--discriminator_lr", type=float, default=2e-4)
+  p.add_argument("--beta1", type=float, default=0.0)
+  p.add_argument("--beta2", type=float, default=0.9)
+  p.add_argument("--lr_decay_schedule", default="none",
+                 choices=["none", "linear", "half-linear", "linear-end"])
+  p.add_argument("--checkpoint_ratio", type=int, default=10)
+  p.add_argument("--display_ratio", type=int, default=1)
+  p.add_argument("--start_epoch", type=int, default=0)
+  p.add_argument("--generator_checkpoint", default=None,
+                 help="weights-only generator .npz to load")
+  p.add_argument("--discriminator_checkpoint", default=None,
+                 help="weights-only discriminator .npz to load")
+  p.add_argument("--resume", default=None,
+                 help="'auto' = latest full-state checkpoint, or a path")
+  p.add_argument("--phase", default="train", choices=["train", "test"])
+  p.add_argument("--seed", type=int, default=0)
+
+  # --- run.py experiment flags [U] ---
+  p.add_argument("--dataset", default="cifar10",
+                 choices=sorted(DATASETS))
+  p.add_argument("--data_dir", default="data")
+  p.add_argument("--arch", default="res", choices=["res", "dcgan"])
+  p.add_argument("--loss", default="hinge",
+                 choices=["hinge", "ns", "wgan", "wgan-gp"])
+  p.add_argument("--gan_type", default="GAN",
+                 choices=["GAN", "PROJECTIVE", "AC_GAN"])
+  p.add_argument("--gradient_penalty_weight", type=float, default=10.0)
+  p.add_argument("--z_dim", type=int, default=128)
+  p.add_argument("--conditional", action="store_true",
+                 help="class-conditional training (labels flow to G/D)")
+  p.add_argument("--generator_block_norm", default="d",
+                 choices=list(NORM_CODES))
+  p.add_argument("--generator_block_coloring", default="uconv",
+                 choices=list(COLORING_CODES))
+  p.add_argument("--generator_last_norm", default="d",
+                 choices=list(NORM_CODES))
+  p.add_argument("--generator_last_coloring", default="uconv",
+                 choices=list(COLORING_CODES))
+  p.add_argument("--generator_filters", default=None,
+                 help="comma-separated per-block widths (default preset)")
+  p.add_argument("--generator_concat_cls", action="store_true")
+  p.add_argument("--discriminator_norm", default="n",
+                 choices=list(NORM_CODES))
+  p.add_argument("--discriminator_coloring", default="n",
+                 choices=list(COLORING_CODES))
+  p.add_argument("--discriminator_filters", default=None)
+  p.add_argument("--discriminator_spectral", type=int, default=1,
+                 help="1 = spectral-normalize D kernels (default)")
+  p.add_argument("--spectral_iterations", type=int, default=1)
+  p.add_argument("--fully_diff_spectral", action="store_true")
+  p.add_argument("--conv_singular", action="store_true")
+  p.add_argument("--filters_emb", type=int, default=10)
+  p.add_argument("--sn_update_on_g_step", action="store_true")
+  p.add_argument("--random_flip", type=int, default=None,
+                 help="1/0 on-device horizontal flip "
+                      "(default: on for natural-image datasets)")
+  p.add_argument("--batches_per_epoch", type=int, default=None)
+  p.add_argument("--ns_iters", type=int, default=15,
+                 help="Newton-Schulz iterations for whitening")
+  p.add_argument("--whitening_method", default="newton_schulz",
+                 choices=["newton_schulz", "cholesky"])
+
+  # --- evaluation (scorer.py surface [U]) ---
+  p.add_argument("--compute_inception_score", type=int, default=0)
+  p.add_argument("--compute_fid", type=int, default=0)
+  p.add_argument("--score_every", type=int, default=10,
+                 help="epochs between IS/FID evaluations")
+  p.add_argument("--samples_inception", type=int, default=50000)
+  p.add_argument("--samples_fid", type=int, default=10000)
+  p.add_argument("--inception_weights", default=None,
+                 help="local InceptionV3 weights .npz (no-egress box)")
+
+  # --- TPU options (new capability) ---
+  p.add_argument("--platform", default="auto",
+                 choices=["auto", "cpu", "tpu", "axon"],
+                 help="force a jax platform. NOTE: on this box 'cpu' must "
+                      "be selected via this flag (in-process config), not "
+                      "the JAX_PLATFORMS env var — the env-var path can "
+                      "still route XLA compiles through the TPU tunnel's "
+                      "remote-compile hook and stall")
+  p.add_argument("--mesh", type=int, default=0,
+                 help="data-parallel over N devices (0 = single device)")
+  p.add_argument("--bf16", action="store_true",
+                 help="bfloat16 compute in G/D (whitening stays f32)")
+  p.add_argument("--profile_dir", default=None,
+                 help="write a jax.profiler trace of a few steps here")
+  p.add_argument("--synthetic_size", type=int, default=4096)
+  return p
+
+
+def _parse_filters(spec: Optional[str]):
+  if spec is None:
+    return None
+  return tuple(int(x) for x in spec.split(",") if x)
+
+
+def build_experiment(args) -> Trainer:
+  """args -> configured Trainer (models, optimizers, dataset, mesh)."""
+  conditional = args.conditional or args.gan_type in ("PROJECTIVE",
+                                                      "AC_GAN")
+  ds = get_dataset(args.dataset, batch_size=args.batch_size,
+                   data_dir=args.data_dir, conditional=conditional,
+                   seed=args.seed, z_dim=args.z_dim,
+                   synthetic_size=args.synthetic_size)
+  res = ds.resolution
+  num_classes = ds.num_classes
+  axis_name = DATA_AXIS if args.mesh else None
+  dtype = "bfloat16" if args.bf16 else "float32"
+
+  g_filters = _parse_filters(args.generator_filters) or tuple(
+      g_presets(args.arch, res))
+  base = res // (2 ** len(g_filters))
+  gcfg = GeneratorConfig(
+      arch=args.arch, z_dim=args.z_dim, resolution=res,
+      output_channels=ds.channels, filters=g_filters,
+      base_resolution=base, block_norm=args.generator_block_norm,
+      block_coloring=args.generator_block_coloring,
+      last_norm=args.generator_last_norm,
+      last_coloring=args.generator_last_coloring,
+      num_classes=num_classes, filters_emb=args.filters_emb,
+      concat_cls=args.generator_concat_cls, ns_iters=args.ns_iters,
+      ns_method=args.whitening_method, axis_name=axis_name, dtype=dtype)
+
+  d_filters = _parse_filters(args.discriminator_filters)
+  if d_filters is None:
+    d_filters, d_down = d_presets(args.arch, res)
+  else:
+    d_down = tuple([True] * (len(d_filters) - 1) + [False])
+  dcfg = DiscriminatorConfig(
+      arch=args.arch, resolution=res, input_channels=ds.channels,
+      filters=tuple(d_filters), downsample=tuple(d_down),
+      spectral=bool(args.discriminator_spectral),
+      sn_iters=args.spectral_iterations,
+      fully_diff=args.fully_diff_spectral,
+      conv_singular=args.conv_singular, norm=args.discriminator_norm,
+      coloring=args.discriminator_coloring, num_classes=num_classes,
+      filters_emb=args.filters_emb,
+      projection=args.gan_type == "PROJECTIVE",
+      ac_gan=args.gan_type == "AC_GAN", ns_iters=args.ns_iters,
+      axis_name=axis_name, dtype=dtype)
+
+  gan_cfg = GANConfig(
+      loss=args.loss,
+      gan_type={"GAN": "gan", "PROJECTIVE": "projection",
+                "AC_GAN": "acgan"}[args.gan_type],
+      training_ratio=args.training_ratio,
+      generator_batch_multiple=args.generator_batch_multiple,
+      gradient_penalty_weight=(args.gradient_penalty_weight
+                               if args.loss == "wgan-gp" else 0.0),
+      num_classes=num_classes, z_dim=args.z_dim, axis_name=axis_name,
+      sn_update_on_g_step=args.sn_update_on_g_step,
+      random_flip=(bool(args.random_flip) if args.random_flip is not None
+                   else args.dataset not in ("mnist", "fashion-mnist")))
+
+  steps_per_epoch = args.batches_per_epoch or max(
+      ds.number_of_batches_per_epoch // args.training_ratio, 1)
+  total_outer = steps_per_epoch * args.number_of_epochs
+  g_tx = schedules.adam(args.generator_lr, args.beta1, args.beta2,
+                        args.lr_decay_schedule, total_outer)
+  d_tx = schedules.adam(args.discriminator_lr, args.beta1, args.beta2,
+                        args.lr_decay_schedule,
+                        total_outer * args.training_ratio)
+
+  name = args.name or (
+      f"{args.dataset}_{args.arch}_{args.loss}"
+      f"_{args.generator_block_norm}-{args.generator_block_coloring}"
+      + ("_cond" if conditional else ""))
+  tcfg = TrainerConfig(
+      name=name, output_dir=os.path.join(args.output_dir, name),
+      checkpoints_dir=args.checkpoints_dir,
+      number_of_epochs=args.number_of_epochs,
+      start_epoch=args.start_epoch,
+      checkpoint_ratio=args.checkpoint_ratio,
+      display_ratio=args.display_ratio,
+      batches_per_epoch=args.batches_per_epoch, seed=args.seed,
+      score_every=args.score_every)
+
+  mesh = None
+  if args.mesh:
+    mesh = make_mesh(jax.devices()[:args.mesh])
+
+  scorer = None
+  if args.compute_inception_score or args.compute_fid:
+    from wcgan_tpu.evaluation.scorer import make_scorer
+    scorer = make_scorer(
+        dataset=ds, compute_is=bool(args.compute_inception_score),
+        compute_fid=bool(args.compute_fid),
+        samples_inception=args.samples_inception,
+        samples_fid=args.samples_fid,
+        inception_weights=args.inception_weights)
+
+  g = Generator(cfg=gcfg)
+  d = Discriminator(cfg=dcfg)
+  return Trainer(ds, g, d, g_tx, d_tx, gan_cfg, tcfg, mesh=mesh,
+                 scorer=scorer)
+
+
+def _load_weights_npz(params, path):
+  """Load a weights-only .npz (export_weights format) into a params tree."""
+  loaded = dict(np.load(path))
+
+  def sub(keypath, leaf):
+    key = "/".join(str(k) for k in keypath)
+    if key not in loaded:
+      raise KeyError(f"checkpoint {path} missing {key}")
+    arr = loaded[key]
+    if arr.shape != leaf.shape:
+      raise ValueError(f"{key}: shape {arr.shape} != {leaf.shape}")
+    return arr.astype(leaf.dtype)
+
+  return jax.tree_util.tree_map_with_path(sub, params)
+
+
+def main(argv=None) -> int:
+  args = build_parser().parse_args(argv)
+  if args.platform != "auto":
+    platform = {"tpu": "axon"}.get(args.platform, args.platform)
+    try:
+      jax.config.update("jax_platforms", platform)
+    except Exception:
+      pass
+  trainer = build_experiment(args)
+
+  if args.resume == "auto":
+    latest = trainer.latest_checkpoint()
+    if latest:
+      trainer.restore_checkpoint(latest)
+      trainer.logger.line(f"resumed from {latest}")
+  elif args.resume:
+    trainer.restore_checkpoint(args.resume)
+  if args.generator_checkpoint:
+    trainer.state = trainer.state.replace(
+        g_params=_load_weights_npz(trainer.state.g_params,
+                                   args.generator_checkpoint))
+  if args.discriminator_checkpoint:
+    trainer.state = trainer.state.replace(
+        d_params=_load_weights_npz(trainer.state.d_params,
+                                   args.discriminator_checkpoint))
+
+  if args.phase == "test":
+    path = trainer.save_sample_grid(args.start_epoch)
+    trainer.logger.line(f"wrote sample grid {path}")
+    if trainer.scorer is not None:
+      scores = trainer.scorer(trainer)
+      trainer.logger.line("; ".join(f"{k} = {v:.4f}"
+                                    for k, v in scores.items()))
+    return 0
+
+  if args.profile_dir:
+    jax.profiler.start_trace(args.profile_dir)
+  trainer.train()
+  if args.profile_dir:
+    jax.profiler.stop_trace()
+  return 0
+
+
+if __name__ == "__main__":
+  raise SystemExit(main())

@@ -62,6 +62,8 @@ class GANConfig:
   z_dim: int = 128
   axis_name: Optional[str] = None
   sn_update_on_g_step: bool = False
+  random_flip: bool = False           # on-device horizontal flip (the
+                                      # reference flips on host [U])
 
   @property
   def conditional(self) -> bool:
@@ -72,6 +74,21 @@ def _pmean(tree, axis_name):
   if axis_name is None:
     return tree
   return lax.pmean(tree, axis_name)
+
+
+def prepare_real(real: jax.Array, rng: jax.Array,
+                 random_flip: bool) -> jax.Array:
+  """On-device input pipeline tail: uint8 → [-1, 1] float32 (+ random
+  horizontal flip). Keeping batches uint8 until here quarters host→device
+  transfer bytes (BASELINE.json:"north_star": on-device decode/flip)."""
+  if real.dtype == jnp.uint8:
+    real = real.astype(jnp.float32) / 127.5 - 1.0
+  if random_flip:
+    # real: (..., B, H, W, C); flip W per sample.
+    flip_shape = real.shape[:-3] + (1, 1, 1)
+    flip = jax.random.bernoulli(rng, 0.5, flip_shape)
+    real = jnp.where(flip, real[..., :, ::-1, :], real)
+  return real
 
 
 def _merge(state_dict, mut):
@@ -216,6 +233,8 @@ def make_outer_step(
       # Per-replica divergence for z/label draws; state.rng stays
       # replicated (next_rng derives from the replicated base only).
       use_rng = jax.random.fold_in(use_rng, lax.axis_index(axis))
+    real = prepare_real(real, jax.random.fold_in(use_rng, ratio + 1),
+                        cfg.random_flip)
 
     def d_scan_body(carry, xs):
       x, y, k = xs
