@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Throughput benchmark: imgs/sec/chip for the fused G+D outer step on
+CIFAR-10 shapes (the driver metric, BASELINE.json:"metric").
+
+Workload: WC ResNet generator (256x3, whitening + uncond coloring) +
+SN ResNet discriminator (128x4), hinge loss, training_ratio=5 D updates +
+1 G update (generator_batch_multiple=2) per outer step, batch 64 — the
+reference's CIFAR-10 headline configuration [U]. imgs/sec counts real
+images consumed per second (training_ratio * batch per outer step).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` divides by the documented TF/Keras-1.x V100 estimate in
+BASELINE.md (the reference never published throughput; >=5x is the
+north-star target).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+# The reference TF/Keras-on-V100 G+D step throughput was never published;
+# BASELINE.md documents this estimate (per-sess.run overhead + 5 D steps +
+# 1 G step at batch 64 on V100-class hardware).
+BASELINE_IMGS_PER_SEC = 500.0
+
+
+def main() -> int:
+  import jax
+  import jax.numpy as jnp
+
+  from wcgan_tpu.train import schedules
+  from wcgan_tpu.train.state import create_state
+  from wcgan_tpu.train.step import GANConfig, make_jit_step
+  sys.path.insert(0, ".")
+  from __graft_entry__ import _models
+
+  batch, zdim, res, ratio = 64, 128, 32, 5
+  dtype = "bfloat16" if "--bf16" in sys.argv else "float32"
+  g, d = _models(resolution=res, z_dim=zdim, dtype=dtype)
+  cfg = GANConfig(training_ratio=ratio, generator_batch_multiple=2,
+                  z_dim=zdim, random_flip=True)
+  g_tx, d_tx = schedules.adam(2e-4), schedules.adam(2e-4)
+  state = create_state(g, d, g_tx, d_tx, jax.random.PRNGKey(0),
+                       batch_size=batch, z_dim=zdim,
+                       image_shape=(res, res, 3))
+  step_fn = make_jit_step(g, d, g_tx, d_tx, cfg, donate=True)
+
+  rng = jax.random.PRNGKey(1)
+  real = jax.random.randint(rng, (ratio, batch, res, res, 3), 0, 256
+                            ).astype(jnp.uint8)
+  labels = jnp.zeros((ratio, batch), jnp.int32)
+
+  # Warmup / compile. NOTE: on the axon tunnel platform
+  # jax.block_until_ready() does NOT block (remote buffers report ready
+  # immediately); a host value fetch is the only reliable fence.
+  state, metrics = step_fn(state, real, labels)
+  float(metrics["d_loss"])
+
+  steps = 30
+  t0 = time.perf_counter()
+  for _ in range(steps):
+    state, metrics = step_fn(state, real, labels)
+  float(metrics["d_loss"])  # fence: forces the whole step chain
+  dt = time.perf_counter() - t0
+
+  imgs_per_sec = steps * ratio * batch / dt
+  print(json.dumps({
+      "metric": "imgs/sec/chip, fused G+D outer step, CIFAR-10 WC-ResNet "
+                f"(batch {batch}, D:G {ratio}:1, {dtype})",
+      "value": round(imgs_per_sec, 1),
+      "unit": "imgs/sec/chip",
+      "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 2),
+  }))
+  return 0
+
+
+if __name__ == "__main__":
+  raise SystemExit(main())
