@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Ablation bench: isolate where outer-step time goes on the real chip.
+
+Variants: norm in G (whitening 'd' vs BN 'b' vs none 'n'), f32 vs bf16,
+Newton-Schulz iteration count. Prints one JSON line per variant.
+Timing fence = host scalar fetch (block_until_ready is a no-op on the
+axon tunnel platform — see bench.py)."""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from wcgan_tpu.models.discriminator import Discriminator, DiscriminatorConfig
+from wcgan_tpu.models.generator import Generator, GeneratorConfig
+from wcgan_tpu.train import schedules
+from wcgan_tpu.train.state import create_state
+from wcgan_tpu.train.step import GANConfig, make_jit_step
+
+
+def bench_variant(norm: str, dtype: str, ns_iters: int,
+                  batch=64, zdim=128, res=32, ratio=5, steps=20):
+  gcfg = GeneratorConfig(
+      z_dim=zdim, resolution=res, base_resolution=4,
+      filters=(256, 256, 256), block_norm=norm,
+      last_norm=norm, ns_iters=ns_iters, dtype=dtype,
+      block_coloring="uconv", last_coloring="uconv")
+  dcfg = DiscriminatorConfig(
+      resolution=res, filters=(128, 128, 128, 128),
+      downsample=(True, True, False, False), ns_iters=ns_iters,
+      dtype=dtype)
+  g, d = Generator(cfg=gcfg), Discriminator(cfg=dcfg)
+  cfg = GANConfig(training_ratio=ratio, generator_batch_multiple=2,
+                  z_dim=zdim, random_flip=True)
+  g_tx, d_tx = schedules.adam(2e-4), schedules.adam(2e-4)
+  state = create_state(g, d, g_tx, d_tx, jax.random.PRNGKey(0),
+                       batch_size=batch, z_dim=zdim,
+                       image_shape=(res, res, 3))
+  step_fn = make_jit_step(g, d, g_tx, d_tx, cfg, donate=True)
+  real = jax.random.randint(jax.random.PRNGKey(1),
+                            (ratio, batch, res, res, 3), 0, 256
+                            ).astype(jnp.uint8)
+  labels = jnp.zeros((ratio, batch), jnp.int32)
+  state, metrics = step_fn(state, real, labels)
+  float(metrics["d_loss"])
+  t0 = time.perf_counter()
+  for _ in range(steps):
+    state, metrics = step_fn(state, real, labels)
+  float(metrics["d_loss"])
+  dt = time.perf_counter() - t0
+  return steps * ratio * batch / dt
+
+
+def main():
+  variants = [
+      ("d", "float32", 15), ("d", "bfloat16", 15),
+      ("b", "float32", 15), ("n", "float32", 15),
+      ("d", "bfloat16", 8), ("b", "bfloat16", 15), ("n", "bfloat16", 15),
+  ]
+  if "--quick" in sys.argv:
+    variants = variants[:2]
+  for norm, dtype, ns in variants:
+    v = bench_variant(norm, dtype, ns)
+    print(json.dumps({"norm": norm, "dtype": dtype, "ns_iters": ns,
+                      "imgs_per_sec": round(v, 1)}), flush=True)
+
+
+if __name__ == "__main__":
+  main()

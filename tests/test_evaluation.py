@@ -1,0 +1,89 @@
+"""Evaluation tests: IS/FID math vs scipy/hand cases, InceptionV3
+plumbing, scorer pipeline (SURVEY.md §4: FID/IS math against scipy on
+fixed activations)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.linalg
+
+from wcgan_tpu.evaluation import metrics
+
+
+def test_inception_score_uniform_is_one():
+  # p(y|x) == marginal for every x -> KL 0 -> IS 1.
+  probs = jnp.full((100, 10), 0.1)
+  mean, std = metrics.inception_score(probs, splits=5)
+  np.testing.assert_allclose(float(mean), 1.0, atol=1e-5)
+  np.testing.assert_allclose(float(std), 0.0, atol=1e-5)
+
+
+def test_inception_score_onehot_is_num_classes():
+  # Perfectly confident + uniform marginal -> IS = num_classes.
+  k = 10
+  probs = jnp.eye(k)[jnp.arange(200) % k]
+  mean, _ = metrics.inception_score(probs, splits=4)
+  np.testing.assert_allclose(float(mean), k, rtol=1e-4)
+
+
+def test_frechet_distance_zero_for_identical():
+  rng = np.random.default_rng(0)
+  a = rng.standard_normal((400, 32)).astype(np.float32)
+  mu, sig = metrics.moments_from_activations(jnp.asarray(a))
+  d = metrics.fid_from_moments(mu, sig, mu, sig)
+  assert abs(d) < 1e-2
+
+
+def test_frechet_distance_matches_scipy():
+  rng = np.random.default_rng(1)
+  a = rng.standard_normal((600, 48)).astype(np.float32)
+  b = (rng.standard_normal((500, 48)) * 1.4 + 0.3).astype(np.float32)
+  mu1, s1 = metrics.moments_from_activations(jnp.asarray(a))
+  mu2, s2 = metrics.moments_from_activations(jnp.asarray(b))
+  ours = metrics.fid_from_moments(mu1, s1, mu2, s2, num_iters=30)
+
+  mu1n, mu2n = np.asarray(mu1), np.asarray(mu2)
+  s1n, s2n = np.asarray(s1, np.float64), np.asarray(s2, np.float64)
+  covmean = scipy.linalg.sqrtm(s1n @ s2n)
+  ref = (np.sum((mu1n - mu2n) ** 2) + np.trace(s1n) + np.trace(s2n)
+         - 2 * np.trace(covmean.real))
+  np.testing.assert_allclose(ours, ref, rtol=2e-3)
+
+
+def test_frechet_distance_rank_deficient():
+  """FID's classic failure mode: N < D covariances are singular."""
+  rng = np.random.default_rng(2)
+  a = rng.standard_normal((40, 64)).astype(np.float32)  # rank 40 < 64
+  b = rng.standard_normal((48, 64)).astype(np.float32)
+  mu1, s1 = metrics.moments_from_activations(jnp.asarray(a))
+  mu2, s2 = metrics.moments_from_activations(jnp.asarray(b))
+  ours = metrics.fid_from_moments(mu1, s1, mu2, s2, num_iters=40)
+  assert np.isfinite(ours) and ours > 0
+
+
+def test_moments_match_numpy_cov():
+  rng = np.random.default_rng(3)
+  a = rng.standard_normal((128, 16)).astype(np.float32)
+  mu, sig = metrics.moments_from_activations(jnp.asarray(a))
+  np.testing.assert_allclose(np.asarray(mu), a.mean(0), atol=1e-5)
+  np.testing.assert_allclose(np.asarray(sig), np.cov(a, rowvar=False),
+                             atol=1e-4)
+
+
+@pytest.mark.slow
+def test_inception_v3_shapes():
+  from wcgan_tpu.evaluation import inception_v3
+  model, variables = inception_v3.init_params()
+  x = jnp.zeros((2, 299, 299, 3), jnp.float32)
+  pool, logits = model.apply(variables, x)
+  assert pool.shape == (2, 2048)
+  assert logits.shape == (2, 1000)
+
+
+def test_preprocess():
+  from wcgan_tpu.evaluation import inception_v3
+  imgs = jnp.zeros((2, 32, 32, 1), jnp.uint8)
+  x = inception_v3.preprocess(imgs)
+  assert x.shape == (2, 299, 299, 3)
+  np.testing.assert_allclose(np.asarray(x), -1.0)

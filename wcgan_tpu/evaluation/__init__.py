@@ -1,0 +1,13 @@
+"""Evaluation: Inception Score + FID, computed on-device.
+
+Rebuilds the reference's evaluation stack (``gan/inception_score.py`` /
+``gan/fid.py`` / ``scorer.py`` [U], SURVEY.md §3.4) in JAX: a flax
+InceptionV3 feature network (local weights — this box has no egress; the
+reference downloads a 2015 TF .pb at run time [U]), IS/FID math on-device
+(matrix square roots via Newton–Schulz instead of ``scipy.linalg.sqrtm``),
+and a scorer callback for the Trainer.
+"""
+
+from wcgan_tpu.evaluation.metrics import (  # noqa: F401
+    fid_from_moments, frechet_distance, inception_score,
+    moments_from_activations)

@@ -37,6 +37,7 @@ class GenResBlock(nn.Module):
   ns_iters: int = 15
   ns_method: str = "newton_schulz"
   axis_name: Optional[str] = None
+  dtype: Optional[jnp.dtype] = None
 
   @nn.compact
   def __call__(self, x: jax.Array, labels: Optional[jax.Array] = None,
@@ -52,16 +53,19 @@ class GenResBlock(nn.Module):
     h = nn.relu(h)
     if self.upsample:
       h = L.upsample_nearest(h)
-    h = nn.Conv(self.filters, (3, 3), padding="SAME", name="conv1")(h)
+    h = nn.Conv(self.filters, (3, 3), padding="SAME",
+                dtype=self.dtype, name="conv1")(h)
     h = norm_color("nc2")(h, labels, train=train)
     h = nn.relu(h)
-    h = nn.Conv(self.filters, (3, 3), padding="SAME", name="conv2")(h)
+    h = nn.Conv(self.filters, (3, 3), padding="SAME",
+                dtype=self.dtype, name="conv2")(h)
 
     sc = x
     if self.upsample:
       sc = L.upsample_nearest(sc)
     if sc.shape[-1] != self.filters:
-      sc = nn.Conv(self.filters, (1, 1), padding="SAME", name="conv_sc")(sc)
+      sc = nn.Conv(self.filters, (1, 1), padding="SAME",
+                   dtype=self.dtype, name="conv_sc")(sc)
     return h + sc
 
 
@@ -165,6 +169,7 @@ class DCGANGenBlock(nn.Module):
   ns_iters: int = 15
   ns_method: str = "newton_schulz"
   axis_name: Optional[str] = None
+  dtype: Optional[jnp.dtype] = None
 
   @nn.compact
   def __call__(self, x: jax.Array, labels: Optional[jax.Array] = None,
@@ -176,7 +181,8 @@ class DCGANGenBlock(nn.Module):
         axis_name=self.axis_name, name="nc")(x, labels, train=train)
     h = nn.relu(h)
     return nn.ConvTranspose(self.filters, (4, 4), strides=(2, 2),
-                            padding="SAME", name="deconv")(h)
+                            padding="SAME", dtype=self.dtype,
+                            name="deconv")(h)
 
 
 class DCGANDiscBlock(nn.Module):

@@ -83,7 +83,7 @@ class Generator(nn.Module):
           filters=f, norm=cfg.block_norm, coloring=cfg.block_coloring,
           num_classes=cfg.num_classes, filters_emb=cfg.filters_emb,
           ns_iters=cfg.ns_iters, ns_method=cfg.ns_method,
-          axis_name=cfg.axis_name, name=f"block{i}")
+          axis_name=cfg.axis_name, dtype=dtype, name=f"block{i}")
       if cfg.arch == "res":
         kwargs["upsample"] = True
       h = block_cls(**kwargs)(h, cond_labels, train=train)
