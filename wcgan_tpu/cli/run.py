@@ -263,6 +263,14 @@ def _load_weights_npz(params, path):
 
 
 def main(argv=None) -> int:
+  import sys as _sys
+  argv = list(_sys.argv[1:]) if argv is None else list(argv)
+  if "--preset" in argv:
+    # --preset <name> expands to the checked-in BASELINE config argv;
+    # flags given after it override (argparse last-wins).
+    from wcgan_tpu.cli.presets import preset_argv
+    i = argv.index("--preset")
+    argv = preset_argv(argv[i + 1], argv[:i] + argv[i + 2:])
   args = build_parser().parse_args(argv)
   if args.platform != "auto":
     platform = {"tpu": "axon"}.get(args.platform, args.platform)
