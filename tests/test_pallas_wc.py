@@ -1,0 +1,95 @@
+"""Fused Pallas moment kernel vs the pure-jnp oracle (SURVEY.md §7 step 2:
+keep the jnp path as the correctness oracle)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from wcgan_tpu.ops import pallas_wc, whiten
+from wcgan_tpu.parallel import DATA_AXIS, make_mesh
+
+
+@pytest.mark.parametrize("rows,c,block", [(512, 16, 128), (1000, 32, 256),
+                                          (64, 8, 128), (130, 16, 64)])
+def test_moments_match_oracle(rows, c, block, rng):
+  x = jnp.asarray(rng.standard_normal((rows, c)).astype(np.float32) * 2 + 3)
+  mean_p, cov_p = pallas_wc.moments(x, block, True)
+  mean_j, cov_j = whiten.batch_moments(x, use_pallas=False)
+  np.testing.assert_allclose(np.asarray(mean_p), np.asarray(mean_j),
+                             atol=1e-4)
+  np.testing.assert_allclose(np.asarray(cov_p), np.asarray(cov_j),
+                             atol=1e-4)
+
+
+def test_moments_bf16_input(rng):
+  x = jnp.asarray(rng.standard_normal((256, 16)).astype(np.float32))
+  mean_p, cov_p = pallas_wc.moments(x.astype(jnp.bfloat16), 128, True)
+  assert mean_p.dtype == jnp.float32 and cov_p.dtype == jnp.float32
+  mean_j, cov_j = whiten.batch_moments(x, use_pallas=False)
+  np.testing.assert_allclose(np.asarray(mean_p), np.asarray(mean_j),
+                             atol=3e-2)
+  np.testing.assert_allclose(np.asarray(cov_p), np.asarray(cov_j),
+                             atol=3e-2)
+
+
+def test_moments_large_mean_regime(rng):
+  """Two-pass semantics survive |mu| >> sigma inside the kernel."""
+  x = jnp.asarray((rng.standard_normal((512, 16)) * 0.01 + 1000.0
+                   ).astype(np.float32))
+  _, cov_p = pallas_wc.moments(x, 128, True)
+  diag = np.diag(np.asarray(cov_p))
+  assert (diag >= 0).all()
+  np.testing.assert_allclose(diag, 1e-4 * np.ones(16), rtol=0.2)
+
+
+def test_moments_gradient_matches_oracle(rng):
+  x = jnp.asarray(rng.standard_normal((256, 12)).astype(np.float32))
+  w = jnp.asarray(rng.standard_normal((12, 12)).astype(np.float32))
+
+  def loss_pallas(x):
+    mean, cov = pallas_wc.moments(x, 64, True)
+    return jnp.sum(cov * w) + jnp.sum(mean ** 2)
+
+  def loss_jnp(x):
+    mean, cov = whiten.batch_moments(x, use_pallas=False)
+    return jnp.sum(cov * w) + jnp.sum(mean ** 2)
+
+  g_p = jax.grad(loss_pallas)(x)
+  g_j = jax.grad(loss_jnp)(x)
+  np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_j), atol=1e-4)
+
+
+def test_batch_moments_pallas_crossreplica(rng):
+  """Local-mean-centered kernel + parallel-variance combination ==
+  global-batch moments (the DP invariant for the pallas path)."""
+  mesh = make_mesh()
+  x = jnp.asarray(rng.standard_normal((64, 16)).astype(np.float32) * 3 + 1)
+
+  fn = functools.partial(whiten.batch_moments, axis_name=DATA_AXIS,
+                         use_pallas=True)
+  # Force interpret inside: monkey, simpler — pallas auto-detects CPU and
+  # interprets, so just run under shard_map.
+  sharded = jax.jit(jax.shard_map(fn, mesh=mesh, in_specs=P(DATA_AXIS),
+                                  out_specs=P()))
+  mean_s, cov_s = sharded(x)
+  mean_g, cov_g = whiten.batch_moments(x, use_pallas=False)
+  np.testing.assert_allclose(np.asarray(mean_s), np.asarray(mean_g),
+                             atol=1e-5)
+  np.testing.assert_allclose(np.asarray(cov_s), np.asarray(cov_g),
+                             atol=1e-5)
+
+
+def test_whiten_train_with_pallas_moments(rng):
+  """whiten_train's auto path composes with the pallas kernel (interpret
+  on CPU) and still whitens."""
+  x = jnp.asarray(rng.standard_normal((512, 16)).astype(np.float32))
+  mean, cov = whiten.batch_moments(x, use_pallas=True)
+  w = whiten.newton_schulz_inv_sqrt(cov)
+  out = whiten.whiten_apply(x, mean, w)
+  m2, c2 = whiten.batch_moments(out, use_pallas=False)
+  np.testing.assert_allclose(np.asarray(m2), np.zeros(16), atol=1e-4)
+  np.testing.assert_allclose(np.asarray(c2), np.eye(16), atol=1e-3)

@@ -1,0 +1,170 @@
+"""Pallas TPU kernel for the WC transform's moment pass.
+
+The north star mandates a fused Pallas kernel for the WC layer
+(BASELINE.json:"north_star"). Analysis of the op's dataflow (SURVEY.md
+§3.2, §7 hard-part #2) splits it into:
+
+  1. moments:   x (R, C) -> mean (C,), covariance (C, C)   [R-reduction]
+  2. inv-sqrt:  Newton-Schulz on the C x C covariance      [tiny matmuls]
+  3. coloring:  x_hat @ Gamma^T + beta                     [R-row matmul]
+
+Phase 2's matmuls are C<=512 — XLA schedules those optimally already, and
+phase 3 folds algebraically into ONE matmul, out = (x - mu) @ (Gamma W)^T
++ beta, which XLA fuses with its bias add. The bandwidth win lives in
+phase 1: a naive XLA lowering reads x twice (mean, then centered
+covariance) and may materialize the centered intermediate. This kernel
+computes BOTH moments in one ``pallas_call`` with a two-phase sequential
+grid — phase 0 accumulates the row sum, the mean is formed in VMEM
+scratch, phase 1 accumulates the *centered* outer product (numerically
+exact two-pass semantics; the one-pass E[xx^T] - mu mu^T form
+catastrophically cancels when |mu| >> sigma, see ops/whiten.py) — with
+zero HBM intermediates and f32 accumulation regardless of input dtype.
+
+A custom VJP makes the kernel differentiable: for
+(mu, Sigma) = moments(x),
+
+  dx_r = (1/R) [ (dSigma + dSigma^T)(x_r - mu) + dmu ]
+
+(the mu-dependence inside Sigma contributes Sum_r (x_r - mu) = 0), i.e.
+one more row-block matmul — no recomputation of the forward.
+
+CPU/debug fallback: ``interpret=True`` via ``force_interpret`` or
+automatically off-TPU, so the same code path runs everywhere
+(SURVEY.md §7 step 2).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_DEF_BLOCK_ROWS = 1024
+
+
+def _on_tpu() -> bool:
+  try:
+    return jax.devices()[0].platform in ("tpu", "axon")
+  except Exception:  # pragma: no cover
+    return False
+
+
+def _moments_kernel(x_ref, mean_ref, cov_ref, acc_sum, acc_xxt, *,
+                    rows: int, block_rows: int):
+  phase = pl.program_id(0)
+  i = pl.program_id(1)
+  nblocks = pl.num_programs(1)
+
+  xb = x_ref[:].astype(jnp.float32)
+  # Mask tail rows of the last (padded) block.
+  row_ids = i * block_rows + jax.lax.broadcasted_iota(
+      jnp.int32, (block_rows, 1), 0)
+  xb = jnp.where(row_ids < rows, xb, 0.0)
+
+  @pl.when(jnp.logical_and(phase == 0, i == 0))
+  def _():
+    acc_sum[:] = jnp.zeros_like(acc_sum)
+
+  @pl.when(phase == 0)
+  def _():
+    acc_sum[:] += jnp.sum(xb, axis=0, keepdims=True)
+
+  @pl.when(jnp.logical_and(phase == 1, i == 0))
+  def _():
+    acc_xxt[:] = jnp.zeros_like(acc_xxt)
+
+  @pl.when(phase == 1)
+  def _():
+    mu = acc_sum[:] / rows                       # lives in VMEM scratch
+    xc = xb - mu
+    xc = jnp.where(row_ids < rows, xc, 0.0)      # keep pad rows at zero
+    acc_xxt[:] += jax.lax.dot_general(
+        xc, xc, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+  @pl.when(jnp.logical_and(phase == 1, i == nblocks - 1))
+  def _():
+    mean_ref[:] = acc_sum[:] / rows
+    cov_ref[:] = acc_xxt[:] / rows
+
+
+def _moments_pallas(x2d: jax.Array, block_rows: int,
+                    interpret: bool) -> Tuple[jax.Array, jax.Array]:
+  rows, c = x2d.shape
+  block_rows = min(block_rows, max(8, rows))
+  nblocks = pl.cdiv(rows, block_rows)
+  padded = nblocks * block_rows
+  if padded != rows:
+    x2d = jnp.pad(x2d, ((0, padded - rows), (0, 0)))
+
+  kernel = functools.partial(_moments_kernel, rows=rows,
+                             block_rows=block_rows)
+  try:
+    # Inside shard_map the outputs vary across the same mesh axes as the
+    # (per-replica) input; the vma annotation is required when
+    # check_vma=True.
+    vma = jax.typeof(x2d).vma
+    out_shape = (jax.ShapeDtypeStruct((1, c), jnp.float32, vma=vma),
+                 jax.ShapeDtypeStruct((c, c), jnp.float32, vma=vma))
+  except (AttributeError, TypeError):
+    out_shape = (jax.ShapeDtypeStruct((1, c), jnp.float32),
+                 jax.ShapeDtypeStruct((c, c), jnp.float32))
+  mean, cov = pl.pallas_call(
+      kernel,
+      grid=(2, nblocks),
+      in_specs=[pl.BlockSpec((block_rows, c), lambda p, i: (i, 0),
+                             memory_space=pltpu.VMEM)],
+      out_specs=(pl.BlockSpec((1, c), lambda p, i: (0, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((c, c), lambda p, i: (0, 0),
+                              memory_space=pltpu.VMEM)),
+      out_shape=out_shape,
+      scratch_shapes=[pltpu.VMEM((1, c), jnp.float32),
+                      pltpu.VMEM((c, c), jnp.float32)],
+      cost_estimate=pl.CostEstimate(
+          flops=2 * padded * c * c + 2 * padded * c,
+          bytes_accessed=2 * padded * c * x2d.dtype.itemsize
+          + 4 * c * (c + 1),
+          transcendentals=0),
+      interpret=interpret,
+  )(x2d)
+  return mean[0], cov
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def moments(x2d: jax.Array, block_rows: int = _DEF_BLOCK_ROWS,
+            interpret: Optional[bool] = None
+            ) -> Tuple[jax.Array, jax.Array]:
+  """(mean, covariance) of rows of x2d — fused single-kernel TPU path.
+
+  Drop-in for the moment math of ``whiten.batch_moments`` (divide-by-R
+  covariance, f32 outputs). ``interpret=None`` auto-selects compiled on
+  TPU / interpreter elsewhere.
+  """
+  if interpret is None:
+    interpret = not _on_tpu()
+  return _moments_pallas(x2d, block_rows, interpret)
+
+
+def _moments_fwd(x2d, block_rows, interpret):
+  out = moments(x2d, block_rows, interpret)
+  return out, (x2d, out[0])
+
+
+def _moments_bwd(block_rows, interpret, res, cot):
+  del block_rows, interpret
+  x2d, mean = res
+  dmu, dsig = cot
+  rows = x2d.shape[0]
+  s = dsig + dsig.T
+  dx = (jnp.matmul((x2d.astype(jnp.float32) - mean), s,
+                   precision=jax.lax.Precision.HIGHEST)
+        + dmu) / rows
+  return (dx.astype(x2d.dtype),)
+
+
+moments.defvjp(_moments_fwd, _moments_bwd)

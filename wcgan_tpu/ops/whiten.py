@@ -39,27 +39,47 @@ def _f32(x: jax.Array) -> jax.Array:
   return x.astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("axis_name",))
+@functools.partial(jax.jit, static_argnames=("axis_name", "use_pallas"))
 def batch_moments(
     x2d: jax.Array,
     axis_name: Optional[str] = None,
+    use_pallas: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
   """Mean and covariance of rows of ``x2d`` ((R, C) -> ((C,), (C, C))).
 
-  When ``axis_name`` is given (inside ``shard_map``/``pmap``), raw moments
-  E[x] and E[x x^T] are averaged across replicas first, so the returned
-  covariance is the covariance of the *global* batch — the reference's
-  single-device semantics extended to a TPU mesh. We reduce raw moments,
-  never whitening matrices (SURVEY.md §7 hard-part #3).
+  When ``axis_name`` is given (inside ``shard_map``/``pmap``), moments are
+  combined across replicas so the returned covariance is the covariance
+  of the *global* batch — the reference's single-device semantics
+  extended to a TPU mesh. We reduce moments, never whitening matrices
+  (SURVEY.md §7 hard-part #3).
+
+  ``use_pallas`` selects the fused one-kernel TPU moment pass
+  (ops/pallas_wc.py); None = auto (on for TPU backends). Both paths use
+  the numerically exact two-pass centered formula — the one-pass
+  E[xx^T] - mu mu^T cancels catastrophically in f32 when |mu| >> sigma
+  (constant features then yield *negative* diagonal rounding junk that
+  makes Newton-Schulz diverge — found by a rank-1-input probe).
   """
+  if use_pallas is None:
+    from wcgan_tpu.ops import pallas_wc
+    use_pallas = pallas_wc._on_tpu()
+  if use_pallas:
+    from wcgan_tpu.ops import pallas_wc
+    mean, cov = pallas_wc.moments(x2d)
+    if axis_name is not None:
+      # The kernel centers on the LOCAL mean; combine exactly via the
+      # parallel-variance formula (equal shard sizes):
+      # Sigma = E_r[Sigma_r] + E_r[(mu_r - mu)(mu_r - mu)^T].
+      gmean = lax.pmean(mean, axis_name)
+      d = mean - gmean
+      cov = lax.pmean(cov + jnp.outer(d, d), axis_name)
+      mean = gmean
+    return mean, cov
+
   x2d = _f32(x2d)
   mean = jnp.mean(x2d, axis=0)
   if axis_name is not None:
     mean = lax.pmean(mean, axis_name)
-  # Two-pass centered formula: Sigma = (x-mu)^T (x-mu) / R. The one-pass
-  # E[xx^T] - mu mu^T cancels catastrophically in f32 when |mu| >> sigma
-  # (constant features then yield *negative* diagonal rounding junk that
-  # makes Newton-Schulz diverge — found by a rank-1-input probe).
   # Centering against the already-reduced global mean keeps per-replica
   # covariances exactly averageable: with equal shard sizes,
   # pmean_r[(x_r-mu)^T (x_r-mu)/R_r] is the global-batch covariance.
