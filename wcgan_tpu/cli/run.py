@@ -135,6 +135,9 @@ def build_parser() -> argparse.ArgumentParser:
                  help="bfloat16 compute in G/D (whitening stays f32)")
   p.add_argument("--profile_dir", default=None,
                  help="write a jax.profiler trace of a few steps here")
+  p.add_argument("--debug_nans", action="store_true",
+                 help="jax_debug_nans: fail fast on the op producing a "
+                      "NaN (debug builds only; disables some fusion)")
   p.add_argument("--synthetic_size", type=int, default=4096)
   return p
 
@@ -278,6 +281,8 @@ def main(argv=None) -> int:
       jax.config.update("jax_platforms", platform)
     except Exception:
       pass
+  if args.debug_nans:
+    jax.config.update("jax_debug_nans", True)
   trainer = build_experiment(args)
 
   if args.resume == "auto":

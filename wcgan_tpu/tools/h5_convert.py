@@ -1,0 +1,78 @@
+"""Keras .h5 weight-file interop (checkpoint-parity scaffolding).
+
+The reference checkpoints with Keras ``save_weights`` →
+``epoch_{i}_{generator,discriminator}.h5`` [U]; "matching checkpoints" is
+interpreted per SURVEY.md §7 hard-part #6 as same cadence/naming plus a
+converter for the reference's .h5 layout. With the reference mount empty
+(SURVEY.md §0) the exact Keras layer-name ↔ flax module-path mapping
+cannot be verified, so this tool provides:
+
+- ``h5_to_npz``: flatten any Keras-weights .h5 into a flat npz
+  (``<layer>/<weight_name>`` keys) — the common interchange format this
+  framework's ``--generator_checkpoint`` loader and ``export_weights``
+  already use, plus an optional user-supplied key-mapping table for exact
+  renames once the reference layout is known (SURVEY.md §8 checklist).
+- ``npz_to_h5``: write our weights-only npz into a Keras-style .h5 tree.
+
+Usage:
+  python -m wcgan_tpu.tools.h5_convert to_npz  in.h5  out.npz [map.json]
+  python -m wcgan_tpu.tools.h5_convert to_h5   in.npz out.h5
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def h5_to_npz(h5_path: str, npz_path: str,
+              key_map: Optional[Dict[str, str]] = None) -> Dict[str, tuple]:
+  """Flatten an .h5 weight file to npz; returns {key: shape} manifest."""
+  import h5py
+  out = {}
+
+  def visit(name, obj):
+    if isinstance(obj, h5py.Dataset):
+      key = key_map.get(name, name) if key_map else name
+      out[key] = np.asarray(obj)
+
+  with h5py.File(h5_path, "r") as f:
+    f.visititems(visit)
+  np.savez(npz_path, **out)
+  return {k: v.shape for k, v in out.items()}
+
+
+def npz_to_h5(npz_path: str, h5_path: str) -> None:
+  import h5py
+  data = dict(np.load(npz_path))
+  with h5py.File(h5_path, "w") as f:
+    for key, val in data.items():
+      f.create_dataset(key, data=val)
+
+
+def main(argv) -> int:
+  if len(argv) < 3:
+    print(__doc__)
+    return 2
+  cmd, src, dst = argv[0], argv[1], argv[2]
+  if cmd == "to_npz":
+    key_map = None
+    if len(argv) > 3:
+      with open(argv[3]) as f:
+        key_map = json.load(f)
+    manifest = h5_to_npz(src, dst, key_map)
+    for k, shape in sorted(manifest.items()):
+      print(k, shape)
+  elif cmd == "to_h5":
+    npz_to_h5(src, dst)
+  else:
+    print(f"unknown command {cmd!r}")
+    return 2
+  return 0
+
+
+if __name__ == "__main__":
+  raise SystemExit(main(sys.argv[1:]))
