@@ -37,7 +37,9 @@ def main() -> int:
   from __graft_entry__ import _models
 
   batch, zdim, res, ratio = 64, 128, 32, 5
-  dtype = "bfloat16" if "--bf16" in sys.argv else "float32"
+  # bf16 compute (f32 whitening numerics inside) is the TPU-native
+  # configuration and the default; --f32 opts out.
+  dtype = "float32" if "--f32" in sys.argv else "bfloat16"
   g, d = _models(resolution=res, z_dim=zdim, dtype=dtype)
   cfg = GANConfig(training_ratio=ratio, generator_batch_multiple=2,
                   z_dim=zdim, random_flip=True)

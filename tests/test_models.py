@@ -140,3 +140,44 @@ def test_generator_grads_flow():
   # Every parameter gets signal (no dead branches).
   nonzero = [float(jnp.max(jnp.abs(x))) > 0 for x in flat]
   assert all(nonzero), f"dead grads: {sum(not n for n in nonzero)} leaves"
+
+
+def test_fused_wc_uconv_matches_composition():
+  """The folded (Gamma W) fast path == whiten-then-color composition."""
+  import numpy as np
+  from wcgan_tpu.models import layers as L
+  from wcgan_tpu.ops import coloring as cops
+  from wcgan_tpu.ops import whiten as wops
+
+  rng = np.random.default_rng(0)
+  x = jnp.asarray(rng.standard_normal((4, 4, 4, 12)).astype(np.float32))
+  nc = L.NormColor(norm="d", coloring="uconv", ns_iters=12)
+  variables = nc.init(KEY, x, train=True)
+  # Perturb gamma/beta away from identity/zero.
+  gamma = jnp.asarray(rng.standard_normal((12, 12)).astype(np.float32))
+  beta = jnp.asarray(rng.standard_normal((12,)).astype(np.float32))
+  variables = {"params": {"gamma": gamma, "beta": beta},
+               "wc_stats": variables["wc_stats"]}
+  out, _ = nc.apply(variables, x, train=True, mutable=["wc_stats"])
+
+  x2d = x.reshape(-1, 12)
+  xh, _, _ = wops.whiten_train(x2d, jnp.zeros(12), jnp.eye(12),
+                               num_iters=12)
+  ref = cops.color_uncond(xh, gamma, beta).reshape(x.shape)
+  np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_fused_wc_uconv_eval_uses_running_stats():
+  from wcgan_tpu.models import layers as L
+  import numpy as np
+  rng = np.random.default_rng(1)
+  x = jnp.asarray(rng.standard_normal((8, 2, 2, 8)).astype(np.float32))
+  nc = L.NormColor(norm="d", coloring="uconv", ns_iters=10)
+  variables = nc.init(KEY, x, train=True)
+  # Train once to move stats; eval output must be deterministic and use
+  # the running stats (identity-ish at init).
+  _, mut = nc.apply(variables, x, train=True, mutable=["wc_stats"])
+  variables = {"params": variables["params"], **mut}
+  e1 = nc.apply(variables, x, train=False)
+  e2 = nc.apply(variables, x, train=False)
+  np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))

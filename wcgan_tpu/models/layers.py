@@ -245,7 +245,15 @@ class NormColor(nn.Module):
   """The full WC block: norm code + coloring code, reference-style pairing.
 
   This is the unit the reference inserts before every activation in G
-  (``blocks.py::resblock(norm=..., coloring=...)`` [U])."""
+  (``blocks.py::resblock(norm=..., coloring=...)`` [U]).
+
+  Hot-path fusion: for whitening + unconditional 1x1 coloring (the
+  paper's headline WC config) the two R-row matmuls
+  ``x_hat = (x - mu) W^T`` and ``out = x_hat Gamma^T + beta`` fold
+  algebraically into ONE: ``out = (x - mu) (Gamma W)^T + beta`` — the
+  C x C fold is negligible, and the (N*H*W)-sized intermediate never
+  exists. Conditional colorings need x_hat per-row and use the general
+  path."""
 
   norm: str = "d"
   coloring: str = "uconv"
@@ -260,12 +268,57 @@ class NormColor(nn.Module):
   @nn.compact
   def __call__(self, x: jax.Array, labels: Optional[jax.Array] = None,
                train: bool = True) -> jax.Array:
+    if self.norm in ("d", "dr") and self.coloring == "uconv":
+      return self._fused_wc_uconv(x, train)
     x = NormLayer(code=self.norm, momentum=self.momentum, eps=self.eps,
                   ns_iters=self.ns_iters, method=self.method,
                   axis_name=self.axis_name, name="norm")(x, train=train)
     x = Coloring(code=self.coloring, num_classes=self.num_classes,
                  filters_emb=self.filters_emb, name="color")(x, labels)
     return x
+
+  def _fused_wc_uconv(self, x: jax.Array, train: bool) -> jax.Array:
+    c = x.shape[-1]
+    r_mean = self.variable("wc_stats", "mean",
+                           lambda: jnp.zeros((c,), jnp.float32))
+    r_cov = self.variable("wc_stats", "cov",
+                          lambda: jnp.eye(c, dtype=jnp.float32))
+    gamma = self.param(
+        "gamma", lambda k, s, d: jnp.eye(s[0], s[1], dtype=d),
+        (c, c), jnp.float32)
+    beta = self.param("beta", nn.initializers.zeros, (c,), jnp.float32)
+
+    x2d = x.reshape(-1, c)
+    axis = None if self.is_initializing() else self.axis_name
+    if train:
+      batch_mean, batch_cov = whiten_ops.batch_moments(x2d, axis_name=axis)
+      if self.mode_uses_batch:          # 'd': transform from batch stats
+        mean, stat_src = batch_mean, batch_cov
+      else:                             # 'dr': from (pre-update) running
+        mean, stat_src = r_mean.value, r_cov.value
+      if not self.is_initializing():
+        r_mean.value = (self.momentum * r_mean.value
+                        + (1 - self.momentum) * batch_mean)
+        r_cov.value = (self.momentum * r_cov.value
+                       + (1 - self.momentum) * batch_cov)
+    else:
+      mean, stat_src = r_mean.value, r_cov.value
+
+    if self.method == "cholesky":
+      w = whiten_ops.cholesky_inv_sqrt(stat_src, eps=self.eps)
+    else:
+      w = whiten_ops.newton_schulz_inv_sqrt(
+          stat_src, num_iters=self.ns_iters, eps=self.eps)
+    m = jnp.matmul(gamma, w,
+                   precision=lax.Precision.HIGHEST)          # (C, C) fold
+    bias = beta - jnp.matmul(mean, m.T,
+                             precision=lax.Precision.HIGHEST)
+    out = jnp.matmul(x2d, m.T.astype(x.dtype)) + bias.astype(x.dtype)
+    return out.reshape(x.shape)
+
+  @property
+  def mode_uses_batch(self) -> bool:
+    return self.norm == "d"
 
 
 # --- Spectral-normalized wrappers -------------------------------------------

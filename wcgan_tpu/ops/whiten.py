@@ -129,7 +129,10 @@ def _ns_iterate(a, ident, num_iters):
     z = jnp.matmul(t, z, precision=_HIGHEST)
     return (y, z), None
 
-  (y, z), _ = lax.scan(body, (a, ident), None, length=num_iters)
+  # Full unroll: the iterations are tiny sequential C x C matmuls; a
+  # rolled loop pays per-iteration dispatch that dwarfs the math on TPU.
+  (y, z), _ = lax.scan(body, (a, ident), None, length=num_iters,
+                       unroll=True)
   return y, z
 
 
