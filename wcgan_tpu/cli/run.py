@@ -139,6 +139,13 @@ def build_parser() -> argparse.ArgumentParser:
                  help="jax_debug_nans: fail fast on the op producing a "
                       "NaN (debug builds only; disables some fusion)")
   p.add_argument("--synthetic_size", type=int, default=4096)
+  p.add_argument("--device_data", type=int, default=1,
+                 help="1 = upload the dataset to device memory once and "
+                      "sample minibatches on-device (3x faster through "
+                      "this box's TPU tunnel); 0 = host-fed batches")
+  p.add_argument("--steps_per_call", type=int, default=8,
+                 help="outer steps chained per host dispatch "
+                      "(device_data only; amortizes dispatch overhead)")
   return p
 
 
@@ -227,7 +234,9 @@ def build_experiment(args) -> Trainer:
       checkpoint_ratio=args.checkpoint_ratio,
       display_ratio=args.display_ratio,
       batches_per_epoch=args.batches_per_epoch, seed=args.seed,
-      score_every=args.score_every)
+      score_every=args.score_every,
+      device_data=bool(args.device_data),
+      steps_per_call=args.steps_per_call)
 
   mesh = None
   if args.mesh:

@@ -49,6 +49,12 @@ class TrainerConfig:
   grid_samples: int = 64
   score_every: int = 0          # epochs between IS/FID evals; 0 = off
   seed: int = 0
+  device_data: bool = True      # upload the dataset to HBM once and
+                                # sample minibatches on-device (falls back
+                                # to host feeding above this many bytes)
+  device_data_limit: int = 2_000_000_000
+  steps_per_call: int = 8       # outer steps chained per host dispatch
+                                # (device_data only; amortizes RPC)
 
 
 class Trainer:
@@ -77,7 +83,30 @@ class Trainer:
         z_dim=gan_cfg.z_dim, image_shape=dataset.image_shape,
         num_classes=gan_cfg.num_classes)
 
-    if mesh is not None:
+    self._device_data = None
+    use_device_data = (cfg.device_data and
+                       dataset.images.nbytes <= cfg.device_data_limit)
+    if use_device_data:
+      labels = (dataset.labels if dataset.labels is not None
+                else np.zeros((len(dataset.images),), np.int32))
+      self._steps_per_call = max(cfg.steps_per_call, 1)
+      if mesh is not None:
+        from wcgan_tpu.parallel.mesh import data_sharding
+        n = (len(dataset.images) // mesh.devices.size) * mesh.devices.size
+        sharding = data_sharding(mesh)
+        self._device_data = (
+            jax.device_put(dataset.images[:n], sharding),
+            jax.device_put(labels[:n], sharding))
+        self.step_fn = step_lib.make_sharded_dataset_step(
+            mesh, g_module, d_module, g_tx, d_tx, gan_cfg,
+            dataset.batch_size, steps_per_call=self._steps_per_call)
+      else:
+        self._device_data = (jnp.asarray(dataset.images),
+                             jnp.asarray(labels))
+        self.step_fn = step_lib.make_jit_dataset_step(
+            g_module, d_module, g_tx, d_tx, gan_cfg, dataset.batch_size,
+            steps_per_call=self._steps_per_call)
+    elif mesh is not None:
       self.step_fn = step_lib.make_sharded_step(
           mesh, g_module, d_module, g_tx, d_tx, gan_cfg)
     else:
@@ -170,16 +199,26 @@ class Trainer:
     for epoch in range(cfg.start_epoch, cfg.number_of_epochs):
       t0 = time.time()
       metric_accum = []
-      for _ in range(batches):
-        real, labels = ds.next_batches(ratio)
-        self.state, metrics = self.step_fn(
-            self.state, jnp.asarray(real), jnp.asarray(labels))
-        metric_accum.append(metrics)  # device arrays; no sync per step
+      if self._device_data is not None:
+        spc = self._steps_per_call
+        calls = max(batches // spc, 1)
+        steps_done = calls * spc
+        for _ in range(calls):
+          self.state, metrics = self.step_fn(self.state,
+                                             *self._device_data)
+          metric_accum.append(metrics)
+      else:
+        steps_done = batches
+        for _ in range(batches):
+          real, labels = ds.next_batches(ratio)
+          self.state, metrics = self.step_fn(
+              self.state, jnp.asarray(real), jnp.asarray(labels))
+          metric_accum.append(metrics)  # device arrays; no per-step sync
       # One sync point per epoch.
       means = {k: float(np.mean([np.asarray(m[k]) for m in metric_accum]))
                for k in metric_accum[0]}
       dt = time.time() - t0
-      imgs_per_sec = batches * ratio * ds.batch_size / dt
+      imgs_per_sec = steps_done * ratio * ds.batch_size / dt
       self.logger.epoch_line(epoch, means,
                              extra=f"imgs/sec = {imgs_per_sec:.1f}")
       self.logger.jsonl(dict(epoch=epoch, **means,
