@@ -181,3 +181,41 @@ def test_fused_wc_uconv_eval_uses_running_stats():
   e1 = nc.apply(variables, x, train=False)
   e2 = nc.apply(variables, x, train=False)
   np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+
+
+@pytest.mark.parametrize("norm,coloring", [("b", "s"), ("dr", "uconv"),
+                                           ("n", "s"), ("b", "uconv"),
+                                           ("dr", "cconv")])
+def test_norm_coloring_code_matrix(norm, coloring):
+  g = Generator(cfg=tiny_gcfg(block_norm=norm, block_coloring=coloring,
+                              last_norm=norm, last_coloring="s",
+                              num_classes=4 if "c" in coloring else 0))
+  z = jax.random.normal(KEY, (4, 16))
+  y = jnp.zeros((4,), jnp.int32) if "c" in coloring else None
+  variables = g.init(KEY, z, y, train=True)
+  mutable = [k for k in variables if k != "params"]
+  out, _ = g.apply(variables, z, y, train=True, mutable=mutable)
+  assert np.isfinite(np.asarray(out)).all()
+
+
+def test_generator_concat_cls():
+  g = Generator(cfg=tiny_gcfg(num_classes=4, concat_cls=True))
+  z = jax.random.normal(KEY, (4, 16))
+  y0, y1 = jnp.zeros((4,), jnp.int32), jnp.ones((4,), jnp.int32)
+  variables = g.init(KEY, z, y0, train=True)
+  o0, _ = g.apply(variables, z, y0, train=True, mutable=["wc_stats"])
+  o1, _ = g.apply(variables, z, y1, train=True, mutable=["wc_stats"])
+  assert not np.allclose(np.asarray(o0), np.asarray(o1))
+
+
+def test_conv_singular_discriminator():
+  d = Discriminator(cfg=tiny_dcfg(conv_singular=True))
+  x = jax.random.normal(KEY, (4, 16, 16, 3))
+  variables = d.init(KEY, x, train=True)
+  (s, _), mut = d.apply(variables, x, train=True, update_sn=True,
+                        mutable=["spectral"])
+  assert np.isfinite(np.asarray(s)).all()
+  # conv_singular uses input-shaped persistent maps
+  any_map = any("u_map" in str(jax.tree_util.tree_structure(
+      mut["spectral"])) for _ in [0])
+  assert any_map
