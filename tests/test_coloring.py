@@ -1,4 +1,13 @@
-"""Unit tests for coloring transforms."""
+"""Unit tests for coloring transforms.
+
+Conditional ops take (N, S, C) with one label per image; these tests use
+S=1 so each "image" is a single row (the per-class selection semantics
+are then directly checkable row by row)."""
+
+
+def _n1c(x):
+  return x[:, None, :]  # (N, C) -> (N, 1, C)
+
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +32,7 @@ def test_color_cond_selects_class_filter(rng):
   labels = jnp.asarray(rng.integers(0, n_cls, size=10))
   gamma_c = jnp.asarray(rng.standard_normal((n_cls, c, c)).astype(np.float32))
   beta_c = jnp.asarray(rng.standard_normal((n_cls, c)).astype(np.float32))
-  out = coloring.color_cond(x, labels, gamma_c, beta_c)
+  out = coloring.color_cond(_n1c(x), labels, gamma_c, beta_c)[:, 0]
   for i in range(10):
     y = int(labels[i])
     expected = np.asarray(gamma_c)[y] @ np.asarray(x)[i] + np.asarray(beta_c)[y]
@@ -40,8 +49,9 @@ def test_color_cond_agnostic_branch_sums(rng):
   beta_c = jnp.zeros((n_cls, c))
   gamma_a = jnp.asarray(rng.standard_normal((c, c)).astype(np.float32))
   beta_a = jnp.zeros((c,))
-  combined = coloring.color_cond(x, labels, gamma_c, beta_c, gamma_a, beta_a)
-  cls_only = coloring.color_cond(x, labels, gamma_c, beta_c)
+  combined = coloring.color_cond(_n1c(x), labels, gamma_c, beta_c,
+                                 gamma_a, beta_a)[:, 0]
+  cls_only = coloring.color_cond(_n1c(x), labels, gamma_c, beta_c)[:, 0]
   agn_only = coloring.color_uncond(x, gamma_a, beta_a)
   np.testing.assert_allclose(np.asarray(combined),
                              np.asarray(cls_only) + np.asarray(agn_only),
@@ -56,7 +66,7 @@ def test_color_cond_sa_equals_materialized(rng):
   basis = jnp.asarray(rng.standard_normal((k, c, c)).astype(np.float32))
   emb = jnp.asarray(rng.standard_normal((n_cls, k)).astype(np.float32))
   beta = jnp.asarray(rng.standard_normal((n_cls, c)).astype(np.float32))
-  out = coloring.color_cond_sa(x, labels, basis, emb, beta)
+  out = coloring.color_cond_sa(_n1c(x), labels, basis, emb, beta)[:, 0]
   gamma_full = np.einsum("yk,koc->yoc", np.asarray(emb), np.asarray(basis))
   for i in range(12):
     y = int(labels[i])
@@ -70,7 +80,8 @@ def test_conditional_center_scale(rng):
   labels = jnp.asarray([0, 1] * 4)
   gamma = jnp.asarray(rng.standard_normal((2, 4)).astype(np.float32))
   beta = jnp.asarray(rng.standard_normal((2, 4)).astype(np.float32))
-  out = coloring.conditional_center_scale(x, labels, gamma, beta)
+  out = coloring.conditional_center_scale(_n1c(x), labels, gamma,
+                                          beta)[:, 0]
   expected = (np.asarray(x) * np.asarray(gamma)[np.asarray(labels)]
               + np.asarray(beta)[np.asarray(labels)])
   np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-5, atol=1e-5)
@@ -86,7 +97,8 @@ def test_coloring_gradients(rng):
   beta = jnp.zeros((n_cls, c))
 
   def loss(basis, emb):
-    return jnp.sum(coloring.color_cond_sa(x, labels, basis, emb, beta) ** 2)
+    return jnp.sum(
+        coloring.color_cond_sa(_n1c(x), labels, basis, emb, beta) ** 2)
 
   g_basis, g_emb = jax.grad(loss, argnums=(0, 1))(basis, emb)
   # Finite-difference check on one coordinate of each.

