@@ -62,3 +62,21 @@ def test_resume_and_test_phase(rundirs):
   testargs = argv + ["--phase", "test",
                      "--generator_checkpoint", gweights]
   assert main(testargs) == 0
+
+
+def test_mesh_training_via_cli(tmp_path):
+  """Data-parallel path through the real CLI on the 8-device CPU mesh:
+  sharded device-resident dataset, cross-replica whitening, checkpoints."""
+  out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+  argv = [
+      "--dataset", "synthetic", "--arch", "res", "--mesh", "8",
+      "--batch_size", "16", "--training_ratio", "2",
+      "--generator_filters", "16,16", "--discriminator_filters", "16,16",
+      "--synthetic_size", "256", "--ns_iters", "6",
+      "--batches_per_epoch", "4", "--steps_per_call", "2",
+      "--number_of_epochs", "1", "--checkpoint_ratio", "1",
+      "--output_dir", out, "--checkpoints_dir", ckpt, "--name", "mesh8",
+  ]
+  assert main(argv) == 0
+  assert os.path.exists(os.path.join(out, "mesh8", "log.txt"))
+  assert os.path.isdir(os.path.join(ckpt, "mesh8", "epoch_0"))
