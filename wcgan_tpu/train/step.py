@@ -189,11 +189,12 @@ def make_outer_step(
         state.d_params)
     grads = _pmean(grads, axis)
     loss = _pmean(loss, axis)
+    gnorm = optax.global_norm(grads)
     updates, d_opt = d_tx.update(grads, state.d_opt, state.d_params)
     d_params = optax.apply_updates(state.d_params, updates)
     state = state.replace(d_params=d_params, d_opt=d_opt,
                           d_state=_merge(state.d_state, mut))
-    return state, loss
+    return state, (loss, gnorm)
 
   def g_update(state: GANTrainState, rng, g_batch):
     rng_z, rng_y = jax.random.split(rng)
@@ -216,10 +217,11 @@ def make_outer_step(
         state.g_params)
     grads = _pmean(grads, axis)
     loss = _pmean(loss, axis)
+    gnorm = optax.global_norm(grads)
     updates, g_opt = g_tx.update(grads, state.g_opt, state.g_params)
     g_params = optax.apply_updates(state.g_params, updates)
     return state.replace(g_params=g_params, g_opt=g_opt,
-                         g_state=_merge(state.g_state, mut)), loss
+                         g_state=_merge(state.g_state, mut)), (loss, gnorm)
 
   def outer_step(state: GANTrainState, real: jax.Array,
                  labels: jax.Array
@@ -241,15 +243,16 @@ def make_outer_step(
       carry, loss = d_update(carry, x, y, jax.random.fold_in(use_rng, k))
       return carry, loss
 
-    state, d_losses = lax.scan(
+    state, (d_losses, d_gnorms) = lax.scan(
         d_scan_body, state,
         (real, labels, jnp.arange(ratio, dtype=jnp.int32)))
 
-    state, g_loss = g_update(
+    state, (g_loss, g_gnorm) = g_update(
         state, jax.random.fold_in(use_rng, ratio),
         b * cfg.generator_batch_multiple)
     state = state.replace(rng=next_rng, step=state.step + 1)
-    metrics = {"d_loss": jnp.mean(d_losses), "g_loss": g_loss}
+    metrics = {"d_loss": jnp.mean(d_losses), "g_loss": g_loss,
+               "d_grad_norm": jnp.mean(d_gnorms), "g_grad_norm": g_gnorm}
     return state, metrics
 
   return outer_step
