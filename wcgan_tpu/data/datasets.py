@@ -161,19 +161,35 @@ def _load_imagenet64(data_dir: str):
 
 def _synthetic(resolution: int, num_classes: int, n: int = 4096,
                channels: int = 3, seed: int = 0):
-  """Class-structured random images: per-class smooth color fields +
-  noise. No files needed; backs smoke tests and benches."""
+  """Class-structured random images on a continuous manifold.
+
+  Each sample is a sum of sinusoidal plane waves with per-sample random
+  orientation/phase/amplitude (class sets the base frequency band), plus
+  per-channel gain — a smooth, non-degenerate distribution. A finite set
+  of fixed patterns (the obvious alternative) is trivially memorizable by
+  D and makes every GAN look broken. No files needed; backs smoke tests
+  and benches."""
   rng = np.random.default_rng(seed)
   k = max(num_classes, 1)
   y = rng.integers(0, k, size=n).astype(np.int32)
   yy, xx = np.mgrid[0:resolution, 0:resolution] / resolution
-  base = np.stack([np.sin(2 * np.pi * (yy * (c % 3 + 1) + xx * (c // 3 + 1)))
-                   for c in range(k)])  # (k, H, W)
-  img = base[y][..., None] * 0.5 + rng.normal(0, 0.2,
-                                              (n, resolution, resolution, 1))
-  img = np.repeat(img, channels, axis=-1)
+  waves = 3
+  freq = 1.0 + y[:, None] + rng.uniform(0, 1, (n, waves))  # class band
+  theta = rng.uniform(0, np.pi, (n, waves))
+  phase = rng.uniform(0, 2 * np.pi, (n, waves))
+  amp = rng.uniform(0.2, 0.6, (n, waves))
+  img = np.zeros((n, resolution, resolution), np.float32)
+  for w in range(waves):
+    kx = freq[:, w] * np.cos(theta[:, w])
+    ky = freq[:, w] * np.sin(theta[:, w])
+    img += amp[:, w, None, None] * np.sin(
+        2 * np.pi * (kx[:, None, None] * xx + ky[:, None, None] * yy)
+        + phase[:, w, None, None])
+  gain = rng.uniform(0.6, 1.0, (n, 1, 1, channels))
+  img = img[..., None] * gain
   img += rng.normal(0, 0.05, img.shape)
-  return (np.clip(img * 0.5 + 0.5, 0, 1) * 255).astype(np.uint8), y
+  return ((np.clip(img, -1, 1) * 0.5 + 0.5) * 255).astype(np.uint8), \
+      y
 
 
 # name -> (resolution, channels, num_classes or 0)

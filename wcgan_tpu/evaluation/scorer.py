@@ -14,7 +14,6 @@ for a real one (SURVEY.md §7 hard-part #5: never silently substitute).
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Dict, Optional
 
 import jax

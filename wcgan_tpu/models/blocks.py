@@ -13,7 +13,7 @@ layout-preserving and fuse into the adjacent convs under XLA.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -28,7 +28,7 @@ strings [U]; spellings documented in cli/run.py):
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
