@@ -69,7 +69,9 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6,
   # Symmetrize against rounding before the second square root.
   inner = 0.5 * (inner + inner.T)
   geo = whiten.newton_schulz_sqrt(inner, num_iters=num_iters, eps=eps)
-  return diff + jnp.trace(s1) + jnp.trace(s2) - 2.0 * jnp.trace(geo)
+  fid = diff + jnp.trace(s1) + jnp.trace(s2) - 2.0 * jnp.trace(geo)
+  # True Frechet distance is >= 0; tiny negatives are sqrt trace error.
+  return jnp.maximum(fid, 0.0)
 
 
 def fid_from_moments(mu1, sigma1, mu2, sigma2, **kw) -> float:
