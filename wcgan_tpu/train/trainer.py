@@ -160,6 +160,25 @@ class Trainer:
       return None
     return self.checkpoint_path(max(epochs))
 
+  # -- diagnostics -------------------------------------------------------------
+
+  def diagnostics(self) -> Dict[str, float]:
+    """Cheap health probes (SURVEY.md §5 observability row): condition
+    number of each WC layer's running covariance (whitening difficulty /
+    Newton-Schulz convergence proxy)."""
+    conds = []
+    for path, leaf in jax.tree_util.tree_flatten_with_path(
+        self.state.g_state.get("wc_stats", {}))[0]:
+      if "cov" in "/".join(str(p) for p in path):
+        arr = np.asarray(leaf)
+        if arr.ndim == 2 and arr.shape[0] == arr.shape[1]:
+          eig = np.linalg.eigvalsh(arr)
+          conds.append(float(eig[-1] / max(eig[0], 1e-12)))
+    if not conds:
+      return {}
+    return {"wc_cov_cond_max": max(conds),
+            "wc_cov_cond_mean": float(np.mean(conds))}
+
   # -- artifacts -------------------------------------------------------------
 
   def save_sample_grid(self, epoch: int) -> str:
@@ -221,8 +240,16 @@ class Trainer:
       imgs_per_sec = steps_done * ratio * ds.batch_size / dt
       self.logger.epoch_line(epoch, means,
                              extra=f"imgs/sec = {imgs_per_sec:.1f}")
-      self.logger.jsonl(dict(epoch=epoch, **means,
+      diag = self.diagnostics()
+      self.logger.jsonl(dict(epoch=epoch, **means, **diag,
                              imgs_per_sec=imgs_per_sec, seconds=dt))
+      # Failure detection (SURVEY.md §5): a NaN/Inf loss means the run is
+      # dead — fail loudly with state preserved rather than burn epochs.
+      if not all(np.isfinite(v) for v in means.values()):
+        self.save_checkpoint(epoch)
+        self.logger.line(f"Epoch {epoch}: NON-FINITE metrics {means}; "
+                         "checkpointed and aborting")
+        raise FloatingPointError(f"non-finite training metrics: {means}")
       if cfg.display_ratio and (epoch + 1) % cfg.display_ratio == 0:
         self.save_sample_grid(epoch)
       if cfg.checkpoint_ratio and (epoch + 1) % cfg.checkpoint_ratio == 0:
