@@ -141,3 +141,18 @@ def test_global_batch_whitening_invariant():
                              atol=1e-5)
   np.testing.assert_allclose(np.asarray(cov_s), np.asarray(cov_g),
                              atol=1e-5)
+
+
+def test_generator_ema_tracks_params():
+  import dataclasses as dc
+  from wcgan_tpu.train.state import create_state as cs
+  g, d, g_tx, d_tx, cfg = build()
+  cfg = dc.replace(cfg, g_ema_decay=0.9)
+  state = cs(g, d, g_tx, d_tx, KEY, batch_size=4, z_dim=ZDIM,
+             image_shape=(RES, RES, 3), g_ema=True)
+  step_fn = make_jit_step(g, d, g_tx, d_tx, cfg, donate=False)
+  real, labels = fake_batch(cfg)
+  new_state, _ = step_fn(state, real, labels)
+  # EMA moved toward the updated params but is not equal to them.
+  assert _leaf_changed(state.g_ema, new_state.g_ema)
+  assert _leaf_changed(new_state.g_ema, new_state.g_params)

@@ -102,6 +102,9 @@ def build_parser() -> argparse.ArgumentParser:
   p.add_argument("--conv_singular", action="store_true")
   p.add_argument("--filters_emb", type=int, default=10)
   p.add_argument("--sn_update_on_g_step", action="store_true")
+  p.add_argument("--generator_ema", type=float, default=0.0,
+                 help="EMA decay for generator weights used at sampling "
+                      "(0 = off; e.g. 0.999)")
   p.add_argument("--random_flip", type=int, default=None,
                  help="1/0 on-device horizontal flip "
                       "(default: on for natural-image datasets)")
@@ -214,6 +217,7 @@ def build_experiment(args) -> Trainer:
                                if args.loss == "wgan-gp" else 0.0),
       num_classes=num_classes, z_dim=args.z_dim, axis_name=axis_name,
       sn_update_on_g_step=args.sn_update_on_g_step,
+      g_ema_decay=args.generator_ema,
       random_flip=(bool(args.random_flip) if args.random_flip is not None
                    else args.dataset not in ("mnist", "fashion-mnist")))
 

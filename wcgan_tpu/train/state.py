@@ -34,6 +34,7 @@ class GANTrainState(flax.struct.PyTreeNode):
   d_opt: Any
   g_state: Dict[str, Any]       # generator variable collections
   d_state: Dict[str, Any]       # discriminator variable collections
+  g_ema: Any                    # EMA of g_params ({} when disabled)
   rng: jax.Array
 
 
@@ -55,6 +56,7 @@ def create_state(
     z_dim: int,
     image_shape,
     num_classes: int = 0,
+    g_ema: bool = False,
 ) -> GANTrainState:
   """Initialize G/D variables and optimizer slots into one state pytree."""
   g_rng, d_rng, state_rng = jax.random.split(rng, 3)
@@ -77,5 +79,6 @@ def create_state(
       d_opt=d_tx.init(d_params),
       g_state=g_state,
       d_state=d_state,
+      g_ema=jax.tree_util.tree_map(jnp.copy, g_params) if g_ema else {},
       rng=state_rng,
   )

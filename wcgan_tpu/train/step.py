@@ -64,6 +64,9 @@ class GANConfig:
   sn_update_on_g_step: bool = False
   random_flip: bool = False           # on-device horizontal flip (the
                                       # reference flips on host [U])
+  g_ema_decay: float = 0.0            # EMA of G params for sampling
+                                      # (0 = off; not in the reference —
+                                      # additive capability)
 
   @property
   def conditional(self) -> bool:
@@ -220,7 +223,12 @@ def make_outer_step(
     gnorm = optax.global_norm(grads)
     updates, g_opt = g_tx.update(grads, state.g_opt, state.g_params)
     g_params = optax.apply_updates(state.g_params, updates)
-    return state.replace(g_params=g_params, g_opt=g_opt,
+    g_ema = state.g_ema
+    if cfg.g_ema_decay > 0.0 and g_ema:
+      d_ = cfg.g_ema_decay
+      g_ema = jax.tree_util.tree_map(
+          lambda e, p: d_ * e + (1.0 - d_) * p, g_ema, g_params)
+    return state.replace(g_params=g_params, g_opt=g_opt, g_ema=g_ema,
                          g_state=_merge(state.g_state, mut)), (loss, gnorm)
 
   def outer_step(state: GANTrainState, real: jax.Array,

@@ -81,7 +81,8 @@ class Trainer:
         g_module, d_module, g_tx, d_tx,
         jax.random.PRNGKey(cfg.seed), batch_size=dataset.batch_size,
         z_dim=gan_cfg.z_dim, image_shape=dataset.image_shape,
-        num_classes=gan_cfg.num_classes)
+        num_classes=gan_cfg.num_classes,
+        g_ema=gan_cfg.g_ema_decay > 0.0)
 
     self._device_data = None
     use_device_data = (cfg.device_data and
@@ -114,7 +115,10 @@ class Trainer:
           g_module, d_module, g_tx, d_tx, gan_cfg)
 
     def sample(state: GANTrainState, z, labels):
-      variables = {"params": state.g_params, **state.g_state}
+      # Sample from the EMA generator when enabled (smoother weights for
+      # eval; an additive capability over the reference).
+      params = state.g_ema if state.g_ema else state.g_params
+      variables = {"params": params, **state.g_state}
       y = labels if gan_cfg.conditional else None
       return self.g.apply(variables, z, y, train=False)
 
