@@ -93,3 +93,32 @@ def test_whiten_train_with_pallas_moments(rng):
   m2, c2 = whiten.batch_moments(out, use_pallas=False)
   np.testing.assert_allclose(np.asarray(m2), np.zeros(16), atol=1e-4)
   np.testing.assert_allclose(np.asarray(c2), np.eye(16), atol=1e-3)
+
+
+def test_whiten_color_apply_matches_composition(rng):
+  """Single-kernel NS+fold+apply == whiten.inv_sqrt -> color composition."""
+  from wcgan_tpu.ops import coloring
+  c = 16
+  x = jnp.asarray(rng.standard_normal((300, c)).astype(np.float32) * 2 + 1)
+  mean, cov = whiten.batch_moments(x, use_pallas=False)
+  gamma = jnp.asarray(rng.standard_normal((c, c)).astype(np.float32) * 0.3)
+  beta = jnp.asarray(rng.standard_normal((c,)).astype(np.float32))
+
+  out = pallas_wc.whiten_color_apply(x, mean, cov, gamma, beta,
+                                     ns_iters=14, interpret=True)
+  w = whiten.newton_schulz_inv_sqrt(cov, num_iters=14)
+  ref = coloring.color_uncond(whiten.whiten_apply(x, mean, w), gamma, beta)
+  np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-4)
+
+
+def test_whiten_color_apply_ragged_rows(rng):
+  c = 8
+  x = jnp.asarray(rng.standard_normal((130, c)).astype(np.float32))
+  mean, cov = whiten.batch_moments(x, use_pallas=False)
+  out = pallas_wc.whiten_color_apply(x, mean, cov, jnp.eye(c),
+                                     jnp.zeros(c), block_rows=64,
+                                     interpret=True)
+  assert out.shape == (130, c)
+  m2, c2 = whiten.batch_moments(out, use_pallas=False)
+  np.testing.assert_allclose(np.asarray(m2), np.zeros(c), atol=1e-4)
+  np.testing.assert_allclose(np.asarray(c2), np.eye(c), atol=2e-3)

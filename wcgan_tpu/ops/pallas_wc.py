@@ -168,3 +168,119 @@ def _moments_bwd(block_rows, interpret, res, cot):
 
 
 moments.defvjp(_moments_fwd, _moments_bwd)
+
+
+# --- Full WC-apply kernel: Newton-Schulz + coloring fold + apply -------------
+
+
+def _wc_apply_kernel(x_ref, mean_ref, cov_ref, gamma_ref, beta_ref,
+                     out_ref, mt_scratch, bias_scratch, *,
+                     ns_iters: int, eps: float):
+  i = pl.program_id(0)
+
+  @pl.when(i == 0)
+  def _():
+    # Whole Newton-Schulz solve in VMEM: cov is C x C (<=512) — the
+    # iteration is ns_iters x 3 small MXU matmuls, done ONCE per kernel.
+    cov = cov_ref[:].astype(jnp.float32)
+    c = cov.shape[0]
+    ident = jnp.eye(c, dtype=jnp.float32)
+    mean_diag = jnp.maximum(jnp.trace(cov) / c, 0.0)
+    a = cov + (eps * mean_diag + 1e-12) * ident
+    trace = jnp.trace(a)
+    a = a / trace
+
+    # HIGHEST precision is load-bearing: with the MXU's default bf16
+    # passes Newton-Schulz plateaus at ~2e-2 error (measured both in
+    # XLA, see ops/whiten.py, and inside this kernel: 6e-2 max err
+    # before this annotation).
+    hp = jax.lax.Precision.HIGHEST
+
+    def body(_, yz):
+      y, z = yz
+      t = 1.5 * ident - 0.5 * jnp.dot(
+          z, y, precision=hp, preferred_element_type=jnp.float32)
+      return (jnp.dot(y, t, precision=hp,
+                      preferred_element_type=jnp.float32),
+              jnp.dot(t, z, precision=hp,
+                      preferred_element_type=jnp.float32))
+
+    _, z = jax.lax.fori_loop(0, ns_iters, body, (a, ident))
+    w = z / jnp.sqrt(trace)                       # cov^{-1/2}
+    m = jnp.dot(gamma_ref[:].astype(jnp.float32), w, precision=hp,
+                preferred_element_type=jnp.float32)  # fold coloring
+    mt_scratch[:] = m.T
+    bias_scratch[:] = (beta_ref[:].astype(jnp.float32)
+                       - jnp.dot(mean_ref[:].astype(jnp.float32), m.T,
+                                 precision=hp,
+                                 preferred_element_type=jnp.float32))
+
+  xb = x_ref[:]
+  out = jnp.dot(xb.astype(jnp.float32), mt_scratch[:],
+                preferred_element_type=jnp.float32) + bias_scratch[:]
+  out_ref[:] = out.astype(out_ref.dtype)
+
+
+def whiten_color_apply(x2d: jax.Array, mean: jax.Array, cov: jax.Array,
+                       gamma: jax.Array, beta: jax.Array,
+                       ns_iters: int = 15, eps: float = 1e-5,
+                       block_rows: int = _DEF_BLOCK_ROWS,
+                       interpret: Optional[bool] = None) -> jax.Array:
+  """The WC transform given (mean, cov): ONE kernel computing the
+  Newton-Schulz inverse square root, the coloring fold M = Gamma W and
+  bias, and the row-block apply ``(x - mean) (Gamma W)^T + beta`` —
+  covariance inverse-sqrt + coloring 1x1 in a single VMEM-resident pass
+  (the north-star fusion). With running statistics this IS the whole
+  inference-mode WC layer; in training, pair with :func:`moments`.
+
+  Forward-only; the training path uses the equivalent jnp fold
+  (models/layers.py), which autodiff handles. Measured head-to-head on
+  TPU v5e (R=16384, C=256, amortized over a 20-deep chain): this kernel
+  268 us/apply with default-precision NS (but NS then plateaus at ~2e-2,
+  the documented bf16-pass failure), 552 us with HIGHEST-precision NS;
+  the XLA path (moments kernel + NS + fold in XLA) runs 345-362 us with
+  full f32 NS accuracy — XLA schedules the 45 small sequential NS
+  matmuls better than Mosaic here, so the split design remains the
+  default and this kernel is the fully-fused alternative for
+  stats-given/inference use. Returns out with x2d's dtype.
+  """
+  if interpret is None:
+    interpret = not _on_tpu()
+  rows, c = x2d.shape
+  block_rows = min(block_rows, max(8, rows))
+  nblocks = pl.cdiv(rows, block_rows)
+  padded = nblocks * block_rows
+  if padded != rows:
+    x2d = jnp.pad(x2d, ((0, padded - rows), (0, 0)))
+  kernel = functools.partial(_wc_apply_kernel, ns_iters=ns_iters, eps=eps)
+  try:
+    vma = jax.typeof(x2d).vma
+    out_shape = jax.ShapeDtypeStruct((padded, c), x2d.dtype, vma=vma)
+  except (AttributeError, TypeError):
+    out_shape = jax.ShapeDtypeStruct((padded, c), x2d.dtype)
+  out = pl.pallas_call(
+      kernel,
+      grid=(nblocks,),
+      in_specs=[pl.BlockSpec((block_rows, c), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((c, c), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((c, c), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)],
+      out_specs=pl.BlockSpec((block_rows, c), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+      out_shape=out_shape,
+      scratch_shapes=[pltpu.VMEM((c, c), jnp.float32),
+                      pltpu.VMEM((1, c), jnp.float32)],
+      cost_estimate=pl.CostEstimate(
+          flops=2 * padded * c * c + (3 * ns_iters + 2) * 2 * c ** 3,
+          bytes_accessed=(padded * c * x2d.dtype.itemsize * 2
+                          + 3 * 4 * c * c),
+          transcendentals=0),
+      interpret=interpret,
+  )(x2d, mean.reshape(1, c), cov, gamma, beta.reshape(1, c))
+  return out[:rows]
