@@ -219,7 +219,8 @@ def build_experiment(args) -> Trainer:
       sn_update_on_g_step=args.sn_update_on_g_step,
       g_ema_decay=args.generator_ema,
       random_flip=(bool(args.random_flip) if args.random_flip is not None
-                   else args.dataset not in ("mnist", "fashion-mnist")))
+                   else args.dataset not in ("mnist", "fashion-mnist",
+                                             "digits")))
 
   steps_per_epoch = args.batches_per_epoch or max(
       ds.number_of_batches_per_epoch // args.training_ratio, 1)

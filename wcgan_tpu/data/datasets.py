@@ -192,6 +192,19 @@ def _synthetic(resolution: int, num_classes: int, n: int = 4096,
       y
 
 
+def _load_digits(resolution: int = 16):
+  """sklearn's bundled 1,797 real 8x8 handwritten digits — the only real
+  image data available on a zero-egress box without archives. Upscaled
+  2x (nearest) to 16x16 so the standard 2-up-block generator applies.
+  Not in the reference; kept as a no-files real-data validation set."""
+  from sklearn.datasets import load_digits
+  d = load_digits()
+  x = (d.images / 16.0 * 255.0).astype(np.uint8)[..., None]
+  f = resolution // 8
+  x = np.repeat(np.repeat(x, f, axis=1), f, axis=2)
+  return x, d.target.astype(np.int32)
+
+
 # name -> (resolution, channels, num_classes or 0)
 DATASETS = {
     "cifar10": (32, 3, 10),
@@ -202,6 +215,7 @@ DATASETS = {
     "mnist": (32, 1, 10),
     "fashion-mnist": (32, 1, 10),
     "synthetic": (32, 3, 10),
+    "digits": (16, 1, 10),
 }
 
 
@@ -233,6 +247,8 @@ def get_dataset(name: str, batch_size: int, data_dir: str = "data",
     x, y = _load_mnist_like(data_dir, "mnist")
   elif name == "fashion-mnist":
     x, y = _load_mnist_like(data_dir, "fashion-mnist")
+  elif name == "digits":
+    x, y = _load_digits()
   else:
     res = synthetic_resolution or res
     x, y = _synthetic(res, classes if conditional else 0,

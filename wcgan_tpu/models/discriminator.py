@@ -124,9 +124,11 @@ def preset_filters(arch: str, resolution: int
                    ) -> Tuple[Sequence[int], Sequence[bool]]:
   """Per-dataset default D widths + per-block downsampling (paper §5)."""
   if arch == "dcgan":
-    f = {32: (64, 128, 256), 48: (64, 128, 256),
+    f = {16: (64, 128), 32: (64, 128, 256), 48: (64, 128, 256),
          64: (64, 128, 256, 512)}[resolution]
     return f, tuple(True for _ in f)
+  if resolution == 16:
+    return (64, 128, 128), (True, True, False)
   if resolution == 32:
     return (128, 128, 128, 128), (True, True, False, False)
   if resolution == 48:

@@ -113,7 +113,7 @@ def make_generator(cfg: GeneratorConfig) -> Generator:
 def preset_filters(arch: str, resolution: int) -> Sequence[int]:
   """Per-dataset default G widths (paper §5 architectures)."""
   if arch == "dcgan":
-    return {32: (256, 128, 64), 48: (256, 128, 64),
+    return {16: (128, 64), 32: (256, 128, 64), 48: (256, 128, 64),
             64: (512, 256, 128, 64)}[resolution]
-  return {32: (256, 256, 256), 48: (512, 256, 128),
+  return {16: (128, 128), 32: (256, 256, 256), 48: (512, 256, 128),
           64: (512, 256, 128, 64)}[resolution]
