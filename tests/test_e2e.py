@@ -80,3 +80,25 @@ def test_mesh_training_via_cli(tmp_path):
   assert main(argv) == 0
   assert os.path.exists(os.path.join(out, "mesh8", "log.txt"))
   assert os.path.isdir(os.path.join(ckpt, "mesh8", "epoch_0"))
+
+
+def test_window_rotation_for_large_datasets(tmp_path):
+  """Datasets over the HBM budget stage a rotating random window per
+  epoch instead of falling back to per-step host feeding."""
+  from wcgan_tpu.cli.run import build_parser, build_experiment
+  out, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
+  argv = TINY + ["--output_dir", out, "--checkpoints_dir", ckpt,
+                 "--number_of_epochs", "2", "--name", "win",
+                 "--checkpoint_ratio", "0", "--display_ratio", "0"]
+  args = build_parser().parse_args(argv)
+  trainer = build_experiment(args)
+  # Force window mode post-hoc: pretend the budget is ~20 images.
+  bytes_per = int(np.prod(trainer.ds.image_shape))
+  trainer.cfg.device_data_limit = bytes_per * 20
+  trainer._window_elems = 20
+  trainer._device_data = None
+  trainer.train()
+  assert trainer._device_data is not None
+  assert trainer._device_data[0].shape[0] == 20
+  with open(os.path.join(out, "win", "log.txt")) as f:
+    assert "Epoch 1:" in f.read()

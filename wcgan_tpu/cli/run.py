@@ -259,7 +259,7 @@ def build_experiment(args) -> Trainer:
         compute_fid=bool(args.compute_fid),
         samples_inception=args.samples_inception,
         samples_fid=args.samples_fid,
-        inception_weights=args.inception_weights)
+        inception_weights=args.inception_weights, mesh=mesh)
 
   g = Generator(cfg=gcfg)
   d = Discriminator(cfg=dcfg)

@@ -44,8 +44,14 @@ def _activations(apply_fn, images_u8: np.ndarray, batch: int):
 def make_scorer(dataset, compute_is: bool = True, compute_fid: bool = True,
                 samples_inception: int = 50000, samples_fid: int = 10000,
                 inception_weights: Optional[str] = None,
-                batch: int = 100) -> Callable[..., Dict[str, float]]:
-  """Build the Trainer scorer callback."""
+                batch: int = 100,
+                mesh=None) -> Callable[..., Dict[str, float]]:
+  """Build the Trainer scorer callback.
+
+  With ``mesh``, scoring batches are sharded across the data axis —
+  each chip runs the Inception forward on its shard (eval-mode BN has no
+  cross-sample ops, so batch-parallel is exact); activations gather on
+  fetch (SURVEY.md §5 distributed-FID row)."""
   cache = {}
 
   def get_net():
@@ -57,8 +63,15 @@ def make_scorer(dataset, compute_is: bool = True, compute_fid: bool = True,
         model, variables = inception_v3.init_params()
         cache["verified"] = False
 
+      shard = None
+      if mesh is not None:
+        from wcgan_tpu.parallel.mesh import data_sharding
+        shard = data_sharding(mesh)
+
       @jax.jit
       def apply_fn(images_u8):
+        if shard is not None:
+          images_u8 = jax.lax.with_sharding_constraint(images_u8, shard)
         x = inception_v3.preprocess(images_u8)
         pool, logits = model.apply(variables, x)
         return pool, jax.nn.softmax(logits, axis=-1)

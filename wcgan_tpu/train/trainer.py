@@ -85,28 +85,37 @@ class Trainer:
         g_ema=gan_cfg.g_ema_decay > 0.0)
 
     self._device_data = None
-    use_device_data = (cfg.device_data and
-                       dataset.images.nbytes <= cfg.device_data_limit)
-    if use_device_data:
-      labels = (dataset.labels if dataset.labels is not None
-                else np.zeros((len(dataset.images),), np.int32))
+    self._window_elems = 0
+    self._data_sharding = None
+    self._window_rng = np.random.default_rng(cfg.seed + 17)
+    if cfg.device_data:
       self._steps_per_call = max(cfg.steps_per_call, 1)
+      n_total = len(dataset.images)
+      if dataset.images.nbytes > cfg.device_data_limit:
+        # Rotating-window pipeline for datasets over the HBM budget:
+        # stage a random window once per epoch, sample on-device within
+        # it (one bulk upload per epoch instead of one per step).
+        bytes_per = int(np.prod(dataset.image_shape))
+        self._window_elems = max(cfg.device_data_limit // bytes_per,
+                                 dataset.batch_size)
+        self._window_elems = min(self._window_elems, n_total)
+      n = self._window_elems or n_total
       if mesh is not None:
         from wcgan_tpu.parallel.mesh import data_sharding
-        n = (len(dataset.images) // mesh.devices.size) * mesh.devices.size
-        sharding = data_sharding(mesh)
-        self._device_data = (
-            jax.device_put(dataset.images[:n], sharding),
-            jax.device_put(labels[:n], sharding))
+        n = (n // mesh.devices.size) * mesh.devices.size
+        if self._window_elems:
+          self._window_elems = n
+        self._data_sharding = data_sharding(mesh)
         self.step_fn = step_lib.make_sharded_dataset_step(
             mesh, g_module, d_module, g_tx, d_tx, gan_cfg,
             dataset.batch_size, steps_per_call=self._steps_per_call)
       else:
-        self._device_data = (jnp.asarray(dataset.images),
-                             jnp.asarray(labels))
+        self._data_sharding = None
         self.step_fn = step_lib.make_jit_dataset_step(
             g_module, d_module, g_tx, d_tx, gan_cfg, dataset.batch_size,
             steps_per_call=self._steps_per_call)
+      if not self._window_elems:
+        self._device_data = self._stage(np.arange(n))
     elif mesh is not None:
       self.step_fn = step_lib.make_sharded_step(
           mesh, g_module, d_module, g_tx, d_tx, gan_cfg)
@@ -163,6 +172,25 @@ class Trainer:
     if not epochs:
       return None
     return self.checkpoint_path(max(epochs))
+
+  # -- data staging ------------------------------------------------------------
+
+  def _stage(self, idx: np.ndarray):
+    """Upload a subset of the dataset to device (sharded if meshed)."""
+    imgs = self.ds.images[idx]
+    labels = (self.ds.labels[idx] if self.ds.labels is not None
+              else np.zeros((len(idx),), np.int32))
+    if self._data_sharding is not None:
+      return (jax.device_put(imgs, self._data_sharding),
+              jax.device_put(labels, self._data_sharding))
+    return jnp.asarray(imgs), jnp.asarray(labels)
+
+  def _maybe_rotate_window(self) -> None:
+    if self._window_elems:
+      idx = self._window_rng.choice(len(self.ds.images),
+                                    size=self._window_elems,
+                                    replace=False)
+      self._device_data = self._stage(np.sort(idx))
 
   # -- diagnostics -------------------------------------------------------------
 
@@ -222,6 +250,7 @@ class Trainer:
     for epoch in range(cfg.start_epoch, cfg.number_of_epochs):
       t0 = time.time()
       metric_accum = []
+      self._maybe_rotate_window()
       if self._device_data is not None:
         spc = self._steps_per_call
         calls = max(batches // spc, 1)
