@@ -87,3 +87,31 @@ def test_preprocess():
   x = inception_v3.preprocess(imgs)
   assert x.shape == (2, 299, 299, 3)
   np.testing.assert_allclose(np.asarray(x), -1.0)
+
+
+@pytest.mark.slow
+def test_scorer_mesh_sharded_activations():
+  """Scoring batches shard across the mesh (distributed-FID path)."""
+  import numpy as np
+  from wcgan_tpu.data import get_dataset
+  from wcgan_tpu.evaluation.scorer import make_scorer
+  from wcgan_tpu.parallel import make_mesh
+
+  ds = get_dataset("synthetic", batch_size=8, synthetic_size=64)
+  mesh = make_mesh()
+  scorer = make_scorer(ds, compute_is=True, compute_fid=True,
+                       samples_inception=16, samples_fid=16, batch=8,
+                       mesh=mesh)
+
+  class FakeTrainer:
+    gan_cfg = type("C", (), {"z_dim": 8, "conditional": False,
+                             "num_classes": 0})()
+
+    def generate(self, n, batch=256, rng_seed=0):
+      rng = np.random.default_rng(rng_seed)
+      return rng.integers(0, 256, (n, 32, 32, 3), dtype=np.uint8)
+
+  out = scorer(FakeTrainer())
+  assert "unverified_inception_score" in out
+  assert "unverified_fid" in out
+  assert all(np.isfinite(v) for v in out.values())
