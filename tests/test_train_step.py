@@ -156,3 +156,32 @@ def test_generator_ema_tracks_params():
   # EMA moved toward the updated params but is not equal to them.
   assert _leaf_changed(state.g_ema, new_state.g_ema)
   assert _leaf_changed(new_state.g_ema, new_state.g_params)
+
+
+def test_sharded_generator_forward_matches_single_device():
+  """Model-level global-batch whitening semantics: a data-sharded G
+  forward (train mode, cross-replica moments) must produce the same
+  images as the unsharded forward on the full batch."""
+  mesh = make_mesh()
+  gcfg = GeneratorConfig(z_dim=ZDIM, resolution=RES, base_resolution=4,
+                         filters=(8,), ns_iters=10, axis_name=DATA_AXIS)
+  g = Generator(cfg=gcfg)
+  z = jax.random.normal(KEY, (16, ZDIM))
+  variables = g.init(KEY, z, train=True)
+
+  def fwd(z):
+    out, _ = g.apply(variables, z, train=True, mutable=["wc_stats"])
+    return out
+
+  sharded = jax.jit(jax.shard_map(
+      fwd, mesh=mesh, in_specs=P(DATA_AXIS), out_specs=P(DATA_AXIS)))
+
+  # Unsharded reference: same model with axis_name=None sees the full
+  # batch, so its batch moments equal the sharded global moments.
+  g0 = Generator(cfg=GeneratorConfig(
+      z_dim=ZDIM, resolution=RES, base_resolution=4, filters=(8,),
+      ns_iters=10, axis_name=None))
+  out_ref, _ = g0.apply(variables, z, train=True, mutable=["wc_stats"])
+  out_sh = sharded(z)
+  np.testing.assert_allclose(np.asarray(out_sh), np.asarray(out_ref),
+                             atol=2e-5)
