@@ -333,11 +333,12 @@ class SNDense(nn.Module):
   def __call__(self, x: jax.Array, update_sn: bool = False) -> jax.Array:
     kernel = self.param("kernel", self.kernel_init,
                         (x.shape[-1], self.features), self.param_dtype)
+    # Fixed-key u init (as in SNConv/SNEmbed): the power iteration
+    # converges from any nonzero start, so a deterministic init keeps
+    # layers reproducible without threading an extra RNG stream.
     u = self.variable(
         "spectral", "u",
-        lambda: jax.random.normal(self.make_rng("params")
-                                  if self.has_rng("params") else
-                                  jax.random.PRNGKey(0),
+        lambda: jax.random.normal(jax.random.PRNGKey(0),
                                   (self.features,), jnp.float32))
     w_bar, u_new = sn_ops.spectral_normalize(
         kernel, u.value, n_iters=self.sn_iters, fully_diff=self.fully_diff)
