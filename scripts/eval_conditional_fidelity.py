@@ -26,6 +26,9 @@ def main(argv=None) -> int:
   ap.add_argument("--name", required=True)
   ap.add_argument("--samples", type=int, default=640)
   ap.add_argument("--block_coloring", default="ucconv")
+  ap.add_argument("--generator_ema", type=float, default=0.0,
+                  help="must match the training run (restore template "
+                       "shape)")
   args = ap.parse_args(argv)
 
   import jax.numpy as jnp
@@ -44,7 +47,8 @@ def main(argv=None) -> int:
               "--generator_last_coloring", args.block_coloring,
               "--output_dir", args.output_dir,
               "--checkpoints_dir", args.checkpoints_dir,
-              "--name", args.name]
+              "--name", args.name,
+              "--generator_ema", str(args.generator_ema)]
   trainer = build_experiment(build_parser().parse_args(run_argv))
   latest = trainer.latest_checkpoint()
   if latest is None:

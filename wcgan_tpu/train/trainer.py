@@ -206,10 +206,32 @@ class Trainer:
         if arr.ndim == 2 and arr.shape[0] == arr.shape[1]:
           eig = np.linalg.eigvalsh(arr)
           conds.append(float(eig[-1] / max(eig[0], 1e-12)))
-    if not conds:
-      return {}
-    return {"wc_cov_cond_max": max(conds),
-            "wc_cov_cond_mean": float(np.mean(conds))}
+    out: Dict[str, float] = {}
+    if conds:
+      out.update(wc_cov_cond_max=max(conds),
+                 wc_cov_cond_mean=float(np.mean(conds)))
+    # Spectral-norm observability (SURVEY.md §5 sigma estimates): sigma
+    # of the RAW D kernels — SN divides these out at apply time, so this
+    # tracks raw kernel scale growth (the quantity SN keeps in check).
+    sigmas = []
+    for path, leaf in jax.tree_util.tree_flatten_with_path(
+        self.state.d_params)[0]:
+      if "kernel" in "/".join(str(p) for p in path):
+        arr = np.asarray(leaf, np.float32)
+        if arr.ndim >= 2:
+          w2d = arr.reshape(-1, arr.shape[-1])
+          # Power iteration (cheap; exact svd is overkill per epoch).
+          v = np.random.default_rng(0).standard_normal(w2d.shape[1])
+          for _ in range(8):
+            u = w2d @ v
+            u /= np.linalg.norm(u) + 1e-12
+            v = w2d.T @ u
+            v /= np.linalg.norm(v) + 1e-12
+          sigmas.append(float(u @ w2d @ v))
+    if sigmas:
+      out.update(d_sigma_max=max(sigmas),
+                 d_sigma_mean=float(np.mean(sigmas)))
+    return out
 
   # -- artifacts -------------------------------------------------------------
 
