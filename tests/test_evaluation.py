@@ -115,3 +115,55 @@ def test_scorer_mesh_sharded_activations():
   assert "unverified_inception_score" in out
   assert "unverified_fid" in out
   assert all(np.isfinite(v) for v in out.values())
+
+
+@pytest.mark.slow
+def test_inception_weight_loader_contract(tmp_path):
+  """load_npz_params consumes a torchvision-state_dict-format npz: build
+  one synthetically from the flax structure (inverse key/layout mapping)
+  and verify values land in the right places."""
+  import flax
+  from wcgan_tpu.evaluation import inception_v3
+
+  _, variables = inception_v3.init_params()
+  variables = flax.core.unfreeze(variables)
+  rng = np.random.default_rng(0)
+  sd = {}
+
+  def walk(tree, path, kind):
+    for k, v in tree.items():
+      if isinstance(v, dict):
+        walk(v, path + [k], kind)
+        continue
+      name = ".".join(path + [k])
+      arr = rng.standard_normal(v.shape).astype(np.float32)
+      if path and path[-1] == "conv" and k == "kernel":
+        sd[".".join(path) + ".weight"] = arr.transpose(3, 2, 0, 1)
+      elif path and path[-1] == "bn":
+        key = {"scale": "weight", "bias": "bias"}.get(k)
+        if kind == "stats":
+          key = {"mean": "running_mean", "var": "running_var"}[k]
+        sd[".".join(path) + "." + key] = arr
+      elif path == ["fc"] and k == "kernel":
+        sd["fc.weight"] = arr.T
+      elif path == ["fc"] and k == "bias":
+        sd["fc.bias"] = arr
+      else:
+        raise AssertionError(f"unmapped {name}")
+
+  walk(variables["params"], [], "params")
+  walk(variables["batch_stats"], [], "stats")
+  path = str(tmp_path / "iv3.npz")
+  np.savez(path, **sd)
+
+  _, loaded = inception_v3.load_npz_params(path)
+  # Spot-check every kind of mapping round-trips exactly.
+  k = np.asarray(loaded["params"]["Conv2d_1a_3x3"]["conv"]["kernel"])
+  np.testing.assert_array_equal(
+      k, sd["Conv2d_1a_3x3.conv.weight"].transpose(2, 3, 1, 0))
+  np.testing.assert_array_equal(
+      np.asarray(loaded["batch_stats"]["Mixed_7c"]["branch_pool"]["bn"]
+                 ["var"]),
+      sd["Mixed_7c.branch_pool.bn.running_var"])
+  np.testing.assert_array_equal(
+      np.asarray(loaded["params"]["fc"]["kernel"]), sd["fc.weight"].T)

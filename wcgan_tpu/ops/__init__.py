@@ -1,3 +1,3 @@
 """Pure-functional numerics for the WC-GAN TPU stack."""
 
-from wcgan_tpu.ops import coloring, losses, sn, whiten  # noqa: F401
+from wcgan_tpu.ops import coloring, losses, pallas_wc, sn, whiten  # noqa: F401
