@@ -110,3 +110,26 @@ def test_coloring_gradients(rng):
     else:
       fd = (loss(basis, bumped) - loss(basis, arr)) / epsv
     np.testing.assert_allclose(float(g[idx]), float(fd), rtol=5e-2, atol=5e-2)
+
+
+def test_ucs_layer_sums_branches_and_is_identity_at_init(rng):
+  """ADVICE r1: 'ucs' must SUM the uncond and cond scale-shift branches
+  (the 'uncond+cond' convention of 'ucconv'), and — like 'ucconv' — be
+  identity at init (zero-init conditional delta)."""
+  from wcgan_tpu.models.layers import Coloring
+  x = jnp.asarray(rng.standard_normal((5, 2, 2, 4)).astype(np.float32))
+  labels = jnp.asarray(rng.integers(0, 3, size=5))
+  layer = Coloring(code="ucs", num_classes=3)
+  variables = layer.init(jax.random.PRNGKey(0), x, labels)
+  np.testing.assert_allclose(np.asarray(layer.apply(variables, x, labels)),
+                             np.asarray(x), rtol=1e-6)
+  # Perturb every param; output == cond branch + uncond branch, summed.
+  p = jax.tree_util.tree_map(
+      lambda a: a + 0.1 * jnp.arange(a.size, dtype=a.dtype).reshape(a.shape),
+      variables["params"])
+  out = layer.apply({"params": p}, x, labels)
+  gc = np.asarray(p["gamma_c"])[np.asarray(labels)][:, None, None, :]
+  bc = np.asarray(p["beta_c"])[np.asarray(labels)][:, None, None, :]
+  expect = (np.asarray(x) * gc + bc) + (
+      np.asarray(x) * np.asarray(p["gamma"]) + np.asarray(p["beta"]))
+  np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-5, atol=1e-5)

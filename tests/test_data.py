@@ -80,9 +80,39 @@ def test_stl10_loader_unconditional(tmp_path):
   assert ds.images.shape == (6, 48, 48, 3)
   assert ds.num_classes == 0
   # Cache file created; second load uses it.
-  assert (d / "stl48_cache.npz").exists()
+  assert (d / "stl48_unlabeled_cache.npz").exists()
   ds2 = get_dataset("stl10", batch_size=2, data_dir=str(tmp_path))
   np.testing.assert_array_equal(ds.images, ds2.images)
+
+
+def test_stl10_split_caches_do_not_collide(tmp_path):
+  """ADVICE r1: conditional (labeled train) and unconditional (unlabeled)
+  STL-10 must use split-specific caches — never serve one to the other."""
+  d = tmp_path / "stl10_binary"
+  d.mkdir()
+  rng = np.random.default_rng(5)
+  rng.integers(0, 256, (6, 3, 96, 96), dtype=np.uint8).tofile(
+      d / "unlabeled_X.bin")
+  rng.integers(0, 256, (4, 3, 96, 96), dtype=np.uint8).tofile(
+      d / "train_X.bin")
+  (rng.integers(1, 11, 4).astype(np.uint8)).tofile(d / "train_y.bin")
+  # Unconditional first (populates its cache), then conditional.
+  ds_u = get_dataset("stl10", batch_size=2, data_dir=str(tmp_path),
+                     conditional=False)
+  ds_c = get_dataset("stl10", batch_size=2, data_dir=str(tmp_path),
+                     conditional=True)
+  assert ds_u.images.shape[0] == 6
+  assert ds_c.images.shape[0] == 4
+  assert ds_c.labels is not None and ds_c.labels.min() >= 0
+  assert (d / "stl48_unlabeled_cache.npz").exists()
+  assert (d / "stl48_train_cache.npz").exists()
+  # A labelless cache under the conditional name must raise, not serve
+  # all-zero labels.
+  np.savez(d / "stl48_train_cache.npz",
+           x=np.zeros((4, 48, 48, 3), np.uint8))
+  with pytest.raises(ValueError):
+    get_dataset("stl10", batch_size=2, data_dir=str(tmp_path),
+                conditional=True)
 
 
 def test_imagenet64_loader(tmp_path):

@@ -62,6 +62,52 @@ def test_frechet_distance_rank_deficient():
   assert np.isfinite(ours) and ours > 0
 
 
+def test_frechet_distance_eigh_matches_scipy_near_singular():
+  """ADVICE r1: at FID scale (10k samples, 2048 dims) the covariances are
+  near-singular and Newton–Schulz may be unconverged. The scoring path
+  uses the exact eigh factorization — validate it against float64 scipy
+  on a rank-deficient, badly scaled case."""
+  rng = np.random.default_rng(7)
+  # 120 samples in 256 dims (rank << dim), anisotropic scales ~ 1e3 range.
+  scales = np.logspace(-1.5, 1.5, 256)
+  a = (rng.standard_normal((120, 256)) * scales).astype(np.float32)
+  b = (rng.standard_normal((150, 256)) * scales[::-1] + 0.5).astype(
+      np.float32)
+  mu1, s1 = metrics.moments_from_activations(jnp.asarray(a))
+  mu2, s2 = metrics.moments_from_activations(jnp.asarray(b))
+  ours = metrics.fid_from_moments(mu1, s1, mu2, s2, method="eigh")
+
+  mu1n, mu2n = np.asarray(mu1), np.asarray(mu2)
+  s1n, s2n = np.asarray(s1, np.float64), np.asarray(s2, np.float64)
+  offset = np.eye(256) * 1e-10
+  covmean = scipy.linalg.sqrtm((s1n + offset) @ (s2n + offset))
+  ref = (np.sum((mu1n - mu2n) ** 2) + np.trace(s1n) + np.trace(s2n)
+         - 2 * np.trace(covmean.real))
+  np.testing.assert_allclose(ours, ref, rtol=1e-3)
+  # The matmul-only NS path must stay within 1% of the exact oracle on
+  # this conditioning (its documented validity envelope).
+  ns = metrics.fid_from_moments(mu1, s1, mu2, s2, method="ns",
+                                num_iters=40)
+  np.testing.assert_allclose(ns, ref, rtol=1e-2)
+
+
+def test_scorer_tail_padding_is_static_shape():
+  """ADVICE r1: the tail chunk must be padded to the FULL batch shape
+  (np.zeros_like(chunk[:pad]) under-padded whenever remainder < pad)."""
+  from wcgan_tpu.evaluation.scorer import _activations
+
+  shapes = []
+
+  def fake_apply(x):
+    shapes.append(tuple(x.shape))
+    return jnp.zeros((x.shape[0], 4)), jnp.full((x.shape[0], 3), 1 / 3)
+
+  imgs = np.zeros((10, 2, 2, 3), np.uint8)  # batch 8 -> tail of 2 (< pad 6)
+  pools, probs = _activations(fake_apply, imgs, batch=8)
+  assert pools.shape == (10, 4) and probs.shape == (10, 3)
+  assert set(shapes) == {(8, 2, 2, 3)}  # one static shape, no recompiles
+
+
 def test_moments_match_numpy_cov():
   rng = np.random.default_rng(3)
   a = rng.standard_normal((128, 16)).astype(np.float32)

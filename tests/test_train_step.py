@@ -110,6 +110,28 @@ def test_outer_step_variants(kind):
   assert _leaf_changed(state.g_params, new_state.g_params)
 
 
+def test_sn_update_on_g_step_advances_d_spectral():
+  """--sn_update_on_g_step must actually advance D's SN u vectors on the
+  G update (ADVICE r1: the mutation used to be silently discarded)."""
+  import dataclasses as dc
+  g, d, g_tx, d_tx, cfg = build()
+  real, labels = fake_batch(cfg)
+
+  def spectral_after(flag):
+    c = dc.replace(cfg, training_ratio=0, sn_update_on_g_step=flag)
+    # training_ratio=0: no D updates, so any spectral change comes from
+    # the G step's D forward.
+    state = init_state(g, d, g_tx, d_tx, c)
+    step_fn = make_jit_step(g, d, g_tx, d_tx, c, donate=False)
+    new_state, _ = step_fn(state, real[:0], labels[:0])
+    return state.d_state["spectral"], new_state.d_state["spectral"]
+
+  before, after = spectral_after(True)
+  assert _leaf_changed(before, after)
+  before, after = spectral_after(False)
+  assert not _leaf_changed(before, after)
+
+
 def test_sharded_step_runs_and_stays_replicated():
   mesh = make_mesh()
   assert mesh.devices.size == 8, "conftest should give 8 CPU devices"

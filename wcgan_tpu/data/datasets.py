@@ -99,9 +99,17 @@ def _resize_batch_u8(x: np.ndarray, size: int) -> np.ndarray:
 
 def _load_stl10(data_dir: str, conditional: bool):
   root = os.path.join(data_dir, "stl10_binary")
-  cache = os.path.join(root, "stl48_cache.npz")
+  # Split-specific caches: the conditional (labeled train) and
+  # unconditional (100k unlabeled) runs read DIFFERENT archives; a shared
+  # cache file would serve whichever split was decoded first to both.
+  split = "train" if conditional else "unlabeled"
+  cache = os.path.join(root, f"stl48_{split}_cache.npz")
   if os.path.exists(cache):
     d = np.load(cache)
+    if conditional and "y" not in d:
+      raise ValueError(f"{cache} has no labels but a conditional STL-10 "
+                       "run needs the labeled train split; delete the "
+                       "stale cache")
     return d["x"], (d["y"] if "y" in d else None)
   if conditional:
     x = np.fromfile(os.path.join(root, "train_X.bin"), np.uint8)

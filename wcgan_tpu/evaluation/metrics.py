@@ -51,25 +51,51 @@ def moments_from_activations(acts: jax.Array
   return mu, sigma
 
 
-@functools.partial(jax.jit, static_argnames=("num_iters",))
+def _sqrtm_eigh(s: jax.Array) -> jax.Array:
+  """Exact SPD square root via eigendecomposition (eigenvalues clamped
+  at 0 — Inception covariances from <2048 samples are rank-deficient)."""
+  w, v = jnp.linalg.eigh(s)
+  w = jnp.maximum(w, 0.0)
+  return jnp.matmul(v * jnp.sqrt(w), v.T, precision=_HIGHEST)
+
+
+@functools.partial(jax.jit, static_argnames=("num_iters", "method"))
 def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6,
-                     num_iters: int = 20) -> jax.Array:
+                     num_iters: int = 20,
+                     method: str = "eigh") -> jax.Array:
   """||mu1-mu2||^2 + Tr(S1 + S2 - 2 sqrtm(S1 S2)).
 
   Tr sqrtm(S1 S2) = Tr sqrtm(S1^{1/2} S2 S1^{1/2}) (similar matrices;
-  the inner form is SPD so the matmul-only Newton–Schulz square root
-  applies)."""
+  the inner form is SPD).
+
+  method='eigh' (default): exact square roots via eigendecomposition.
+  Scoring is off the training hot path and the 2048-dim Inception
+  covariances from 10k samples are near-singular — iterative Newton–
+  Schulz convergence degrades with condition number (the repo's own
+  calibration, ops/whiten.py), so the scoring path uses the exact
+  factorization like the reference's scipy.sqrtm.
+  method='ns': matmul-only Newton–Schulz (MXU-friendly, no eigh) — kept
+  for hosts/accelerators where eigh is the bottleneck; validated against
+  the eigh oracle in tests/test_evaluation.py."""
   mu1, mu2 = mu1.astype(jnp.float32), mu2.astype(jnp.float32)
   s1 = sigma1.astype(jnp.float32)
   s2 = sigma2.astype(jnp.float32)
   diff = jnp.sum(jnp.square(mu1 - mu2))
-  s1_half = whiten.newton_schulz_sqrt(s1, num_iters=num_iters, eps=eps)
+  if method == "eigh":
+    s1_half = _sqrtm_eigh(s1)
+  else:
+    s1_half = whiten.newton_schulz_sqrt(s1, num_iters=num_iters, eps=eps)
   inner = jnp.matmul(jnp.matmul(s1_half, s2, precision=_HIGHEST),
                      s1_half, precision=_HIGHEST)
   # Symmetrize against rounding before the second square root.
   inner = 0.5 * (inner + inner.T)
-  geo = whiten.newton_schulz_sqrt(inner, num_iters=num_iters, eps=eps)
-  fid = diff + jnp.trace(s1) + jnp.trace(s2) - 2.0 * jnp.trace(geo)
+  if method == "eigh":
+    w = jnp.linalg.eigvalsh(inner)
+    tr_geo = jnp.sum(jnp.sqrt(jnp.maximum(w, 0.0)))
+  else:
+    geo = whiten.newton_schulz_sqrt(inner, num_iters=num_iters, eps=eps)
+    tr_geo = jnp.trace(geo)
+  fid = diff + jnp.trace(s1) + jnp.trace(s2) - 2.0 * tr_geo
   # True Frechet distance is >= 0; tiny negatives are sqrt trace error.
   return jnp.maximum(fid, 0.0)
 

@@ -29,11 +29,13 @@ def _activations(apply_fn, images_u8: np.ndarray, batch: int):
   for i in range(0, n, batch):
     chunk = images_u8[i:i + batch]
     if chunk.shape[0] < batch:  # pad to static shape, mask after
-      pad = batch - chunk.shape[0]
-      chunk = np.concatenate([chunk, np.zeros_like(chunk[:pad])])
+      real_n = chunk.shape[0]
+      pad = batch - real_n
+      chunk = np.concatenate(
+          [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
       pool, prob = apply_fn(jnp.asarray(chunk))
-      pools.append(np.asarray(pool)[:batch - pad])
-      probs.append(np.asarray(prob)[:batch - pad])
+      pools.append(np.asarray(pool)[:real_n])
+      probs.append(np.asarray(prob)[:real_n])
     else:
       pool, prob = apply_fn(jnp.asarray(chunk))
       pools.append(np.asarray(pool))

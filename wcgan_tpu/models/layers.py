@@ -181,16 +181,24 @@ class Coloring(nn.Module):
       return coloring_ops.center_scale(x, gamma, beta)
 
     if code in ("ccs", "ucs"):
-      gamma_c = self.param("gamma_c", nn.initializers.ones,
+      # 'ucs' SUMS the two branches — the 'uncond + cond' convention,
+      # matching the conv analogue 'ucconv'. The conditional branch is a
+      # zero-init delta (like ucconv's gamma_c near-zero init) so the
+      # block is identity at step 0; pure-conditional 'ccs' keeps the
+      # ones init since it is the whole transform.
+      cond_scale_init = (nn.initializers.zeros if code == "ucs"
+                         else nn.initializers.ones)
+      gamma_c = self.param("gamma_c", cond_scale_init,
                            (self.num_classes, c), pd)
       beta_c = self.param("beta_c", nn.initializers.zeros,
                           (self.num_classes, c), pd)
-      out = coloring_ops.conditional_center_scale(_as_nsc(x), labels,
+      x3d = _as_nsc(x)
+      out = coloring_ops.conditional_center_scale(x3d, labels,
                                                   gamma_c, beta_c)
       if code == "ucs":
         gamma = self.param("gamma", nn.initializers.ones, (c,), pd)
         beta = self.param("beta", nn.initializers.zeros, (c,), pd)
-        out = coloring_ops.center_scale(out, gamma, beta)
+        out = out + coloring_ops.center_scale(x3d, gamma, beta)
       return out.reshape(x.shape)
 
     # 1x1-conv family. Identity-like init: whitened input passes through

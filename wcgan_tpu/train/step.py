@@ -209,14 +209,14 @@ def make_outer_step(
     def loss_fn(g_params):
       fake, mut = g_apply(g_params, state.g_state, z, zy,
                           want_mutable=bool(state.g_state))
-      (fs, fl), _ = d_apply(state.d_params, state.d_state, fake, zy_in,
-                            update_sn=cfg.sn_update_on_g_step)
+      (fs, fl), d_mut = d_apply(state.d_params, state.d_state, fake, zy_in,
+                                update_sn=cfg.sn_update_on_g_step)
       loss = g_loss_fn(fs)
       if cfg.gan_type == "acgan" and fl is not None:
         loss = loss + loss_ops.ac_gan_aux_loss(fl, zy)
-      return loss, mut
+      return loss, (mut, d_mut)
 
-    (loss, mut), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+    (loss, (mut, d_mut)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         state.g_params)
     grads = _pmean(grads, axis)
     loss = _pmean(loss, axis)
@@ -228,8 +228,14 @@ def make_outer_step(
       d_ = cfg.g_ema_decay
       g_ema = jax.tree_util.tree_map(
           lambda e, p: d_ * e + (1.0 - d_) * p, g_ema, g_params)
+    d_state = state.d_state
+    if cfg.sn_update_on_g_step and "spectral" in d_mut:
+      # Advance ONLY the SN power-iteration vectors; D's norm statistics
+      # stay fixed on the G step (the documented stats semantics above).
+      d_state = _merge(d_state, {"spectral": d_mut["spectral"]})
     return state.replace(g_params=g_params, g_opt=g_opt, g_ema=g_ema,
-                         g_state=_merge(state.g_state, mut)), (loss, gnorm)
+                         g_state=_merge(state.g_state, mut),
+                         d_state=d_state), (loss, gnorm)
 
   def outer_step(state: GANTrainState, real: jax.Array,
                  labels: jax.Array
