@@ -122,3 +122,28 @@ def test_whiten_color_apply_ragged_rows(rng):
   m2, c2 = whiten.batch_moments(out, use_pallas=False)
   np.testing.assert_allclose(np.asarray(m2), np.zeros(c), atol=1e-4)
   np.testing.assert_allclose(np.asarray(c2), np.eye(c), atol=2e-3)
+
+
+def test_model_eval_paths_use_pallas_and_match_jnp(rng):
+  """VERDICT r1 item 3: the fused kernel is wired into the stats-given
+  eval paths of DecorrelationNorm and NormColor(d,uconv). Force it on
+  (interpreter off-TPU) and check against the jnp oracle path."""
+  import flax
+  from wcgan_tpu.models.layers import DecorrelationNorm, NormColor
+  c = 16
+  x = jnp.asarray(rng.standard_normal((4, 3, 3, c)).astype(np.float32))
+  # Non-trivial running stats: moments of a correlated sample.
+  s = jnp.asarray(rng.standard_normal((200, c)).astype(np.float32))
+  s = s @ jnp.asarray(rng.standard_normal((c, c)).astype(np.float32) * .3)
+  mean, cov = whiten.batch_moments(s + 0.7, use_pallas=False)
+
+  for make in (lambda pe: DecorrelationNorm(ns_iters=14, pallas_eval=pe),
+               lambda pe: NormColor(norm="d", coloring="uconv",
+                                    ns_iters=14, pallas_eval=pe)):
+    mod_p, mod_j = make(True), make(False)
+    variables = flax.core.unfreeze(mod_j.init(jax.random.PRNGKey(0), x))
+    variables["wc_stats"] = {"mean": mean, "cov": cov}
+    out_p = mod_p.apply(variables, x, train=False)
+    out_j = mod_j.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_j),
+                               atol=5e-4)

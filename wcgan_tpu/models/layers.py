@@ -36,6 +36,7 @@ from flax import linen as nn
 from jax import lax
 
 from wcgan_tpu.ops import coloring as coloring_ops
+from wcgan_tpu.ops import pallas_wc
 from wcgan_tpu.ops import sn as sn_ops
 from wcgan_tpu.ops import whiten as whiten_ops
 
@@ -49,6 +50,17 @@ COLORING_CODES = ("n", "s", "ccs", "ucs", "uconv", "cconv", "ucconv",
 
 def coloring_is_conditional(code: str) -> bool:
   return code in _COND_CODES
+
+
+def _pallas_eval_ok(pallas_eval: Optional[bool], method: str) -> bool:
+  """Gate for the fully-fused stats-given WC kernel
+  (ops/pallas_wc.py::whiten_color_apply): auto-on when compiled TPU
+  execution is available and the inverse sqrt is Newton–Schulz (the
+  kernel's solver). ``pallas_eval`` forces it either way (True uses the
+  interpreter off-TPU — correct but slow; for tests)."""
+  if pallas_eval is not None:
+    return pallas_eval and method == "newton_schulz"
+  return method == "newton_schulz" and pallas_wc._on_tpu()
 
 
 class DecorrelationNorm(nn.Module):
@@ -71,6 +83,7 @@ class DecorrelationNorm(nn.Module):
   mode: str = "d"
   method: str = "newton_schulz"  # or "cholesky" (oracle)
   axis_name: Optional[str] = None
+  pallas_eval: Optional[bool] = None  # None = auto (fused kernel on TPU)
 
   @nn.compact
   def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
@@ -83,9 +96,18 @@ class DecorrelationNorm(nn.Module):
     axis = None if self.is_initializing() else self.axis_name
 
     if not train:
-      out = whiten_ops.whiten_eval(
-          x2d, r_mean.value, r_cov.value, eps=self.eps,
-          num_iters=self.ns_iters, method=self.method)
+      # Stats-given inference: the fully-fused Pallas kernel (NS solve +
+      # apply in one VMEM-resident pass) with an identity coloring; the
+      # XLA path is the off-TPU / cholesky fallback and the grad oracle.
+      if _pallas_eval_ok(self.pallas_eval, self.method):
+        out = pallas_wc.whiten_color_apply(
+            x2d, r_mean.value, r_cov.value,
+            jnp.eye(c, dtype=jnp.float32), jnp.zeros((c,), jnp.float32),
+            ns_iters=self.ns_iters, eps=self.eps)
+      else:
+        out = whiten_ops.whiten_eval(
+            x2d, r_mean.value, r_cov.value, eps=self.eps,
+            num_iters=self.ns_iters, method=self.method)
       return out.reshape(x.shape)
 
     if self.mode == "d":
@@ -122,6 +144,7 @@ class NormLayer(nn.Module):
   ns_iters: int = 15
   method: str = "newton_schulz"
   axis_name: Optional[str] = None
+  pallas_eval: Optional[bool] = None
 
   @nn.compact
   def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
@@ -137,7 +160,7 @@ class NormLayer(nn.Module):
       return DecorrelationNorm(
           momentum=self.momentum, eps=self.eps, ns_iters=self.ns_iters,
           mode=self.code, method=self.method, axis_name=self.axis_name,
-          name="wc")(x, train=train)
+          pallas_eval=self.pallas_eval, name="wc")(x, train=train)
     raise ValueError(f"unknown norm code {self.code!r}")
 
 
@@ -266,6 +289,7 @@ class NormColor(nn.Module):
   ns_iters: int = 15
   method: str = "newton_schulz"
   axis_name: Optional[str] = None
+  pallas_eval: Optional[bool] = None  # None = auto (fused kernel on TPU)
 
   @nn.compact
   def __call__(self, x: jax.Array, labels: Optional[jax.Array] = None,
@@ -274,7 +298,8 @@ class NormColor(nn.Module):
       return self._fused_wc_uconv(x, train)
     x = NormLayer(code=self.norm, momentum=self.momentum, eps=self.eps,
                   ns_iters=self.ns_iters, method=self.method,
-                  axis_name=self.axis_name, name="norm")(x, train=train)
+                  axis_name=self.axis_name, pallas_eval=self.pallas_eval,
+                  name="norm")(x, train=train)
     x = Coloring(code=self.coloring, num_classes=self.num_classes,
                  filters_emb=self.filters_emb, name="color")(x, labels)
     return x
@@ -305,6 +330,15 @@ class NormColor(nn.Module):
                        + (1 - self.momentum) * batch_cov)
     else:
       mean, stat_src = r_mean.value, r_cov.value
+      if _pallas_eval_ok(self.pallas_eval, self.method):
+        # Inference: stats given, no grads needed — the fully-fused
+        # kernel (NS inverse sqrt + Gamma-fold + row apply, one VMEM
+        # pass) IS the whole layer here (ops/pallas_wc.py north-star
+        # fusion). This is the sampling path the scorer drives.
+        out = pallas_wc.whiten_color_apply(
+            x2d, mean, stat_src, gamma, beta,
+            ns_iters=self.ns_iters, eps=self.eps)
+        return out.astype(x.dtype).reshape(x.shape)
 
     if self.method == "cholesky":
       w = whiten_ops.cholesky_inv_sqrt(stat_src, eps=self.eps)

@@ -130,6 +130,11 @@ def _moments_pallas(x2d: jax.Array, block_rows: int,
           bytes_accessed=2 * padded * c * x2d.dtype.itemsize
           + 4 * c * (c + 1),
           transcendentals=0),
+      # Both grid dims carry state across steps (phase 0's sum feeds
+      # phase 1; accumulators persist across row blocks) — pin them to
+      # sequential execution rather than relying on Mosaic's default.
+      compiler_params=pltpu.CompilerParams(
+          dimension_semantics=("arbitrary", "arbitrary")),
       interpret=interpret,
   )(x2d)
   return mean[0], cov
@@ -281,6 +286,12 @@ def whiten_color_apply(x2d: jax.Array, mean: jax.Array, cov: jax.Array,
           bytes_accessed=(padded * c * x2d.dtype.itemsize * 2
                           + 3 * 4 * c * c),
           transcendentals=0),
+      # The i==0 grid step writes the folded (Gamma W) and bias into VMEM
+      # scratch that every later step reads — the grid MUST execute
+      # sequentially. True by default on TPU/Mosaic today; pinned here so
+      # a future parallelizing scheduler can't break it (VERDICT r1).
+      compiler_params=pltpu.CompilerParams(
+          dimension_semantics=("arbitrary",)),
       interpret=interpret,
   )(x2d, mean.reshape(1, c), cov, gamma, beta.reshape(1, c))
   return out[:rows]

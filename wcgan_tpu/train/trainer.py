@@ -250,14 +250,19 @@ class Trainer:
     out = []
     for i in range(0, n, batch):
       b = min(batch, n - i)
-      z = rng.standard_normal((b, self.gan_cfg.z_dim)).astype(np.float32)
+      # Always sample a FULL batch (static shape -> one jit trace for any
+      # (n, batch)); the tail over-generates and slices. This path feeds
+      # 50k-sample IS runs, where a second trace per shape combo costs
+      # more than the waste of one partial batch.
+      z = rng.standard_normal((batch, self.gan_cfg.z_dim)
+                              ).astype(np.float32)
       if self.gan_cfg.conditional:
-        labels = rng.integers(0, self.gan_cfg.num_classes, b
+        labels = rng.integers(0, self.gan_cfg.num_classes, batch
                               ).astype(np.int32)
       else:
-        labels = np.zeros((b,), np.int32)
+        labels = np.zeros((batch,), np.int32)
       imgs = self._sample(self.state, jnp.asarray(z), jnp.asarray(labels))
-      out.append(np.asarray(imgs))
+      out.append(np.asarray(imgs)[:b])
     x = np.concatenate(out)
     return (np.clip(x, -1, 1) * 127.5 + 127.5).astype(np.uint8)
 
