@@ -37,3 +37,22 @@ def test_preset_mesh_flag_respected():
   trainer = build_experiment(args)
   assert trainer.mesh is not None
   assert trainer.mesh.devices.size == 8
+
+
+@pytest.mark.parametrize("name", sorted(PRESETS))
+def test_preset_smoke_runs_end_to_end(name, tmp_path):
+  """VERDICT r1 item 6: every BASELINE config trains end-to-end through
+  the real entry point in --smoke mode (preset 5 on the fake 8-dev mesh:
+  sharded data, cross-replica whitening, bf16)."""
+  from wcgan_tpu.cli.run import main
+  out = str(tmp_path / "out")
+  rc = main(["--preset", name, "--smoke",
+             "--output_dir", out, "--checkpoints_dir",
+             str(tmp_path / "ck"), "--name", name])
+  assert rc == 0
+  import os
+  log = os.path.join(out, name, "log.txt")
+  assert os.path.exists(log)
+  with open(log) as f:
+    text = f.read()
+  assert "Epoch 1:" in text and "nan" not in text.lower()

@@ -145,6 +145,13 @@ def build_parser() -> argparse.ArgumentParser:
                  help="jax_debug_nans: fail fast on the op producing a "
                       "NaN (debug builds only; disables some fusion)")
   p.add_argument("--synthetic_size", type=int, default=4096)
+  p.add_argument("--synthetic_resolution", type=int, default=None,
+                 help="override the synthetic dataset's resolution")
+  p.add_argument("--smoke", action="store_true",
+                 help="CI smoke mode: swap the dataset for synthetic at "
+                      "the same resolution, shrink widths/epochs, keep "
+                      "the arch/loss/coloring/mesh semantics — every "
+                      "preset runs end-to-end in seconds")
   p.add_argument("--device_data", type=int, default=1,
                  help="1 = upload the dataset to device memory once and "
                       "sample minibatches on-device (3x faster through "
@@ -152,6 +159,11 @@ def build_parser() -> argparse.ArgumentParser:
   p.add_argument("--steps_per_call", type=int, default=8,
                  help="outer steps chained per host dispatch "
                       "(device_data only; amortizes dispatch overhead)")
+  p.add_argument("--device_data_limit", type=int, default=2_000_000_000,
+                 help="HBM byte budget for device-resident data; larger "
+                      "datasets train on a double-buffered rotating "
+                      "random window of this size per epoch (next window "
+                      "staged during the epoch — budget 2x for it)")
   return p
 
 
@@ -161,14 +173,39 @@ def _parse_filters(spec: Optional[str]):
   return tuple(int(x) for x in spec.split(",") if x)
 
 
+def _apply_smoke(args) -> None:
+  """Shrink a config to CI size in place, preserving its semantics
+  (arch, loss, norm/coloring codes, conditionality, mesh, resolution)."""
+  res, _, _ = DATASETS[args.dataset]
+  args.synthetic_resolution = args.synthetic_resolution or res
+  args.dataset = "synthetic"
+  args.synthetic_size = min(args.synthetic_size, 64)
+  n_dev = args.mesh or 1
+  args.batch_size = max(8, 2 * n_dev)  # tiny but mesh-divisible
+  args.generator_filters = args.generator_filters or "16,16"
+  args.discriminator_filters = args.discriminator_filters or "16,16"
+  args.ns_iters = min(args.ns_iters, 6)
+  args.number_of_epochs = 2
+  args.batches_per_epoch = 2
+  args.checkpoint_ratio = 2
+  args.display_ratio = 1
+  args.steps_per_call = 1
+  args.compute_inception_score = 0
+  args.compute_fid = 0
+
+
 def build_experiment(args) -> Trainer:
   """args -> configured Trainer (models, optimizers, dataset, mesh)."""
+  if getattr(args, "smoke", False):
+    _apply_smoke(args)
   conditional = args.conditional or args.gan_type in ("PROJECTIVE",
                                                       "AC_GAN")
   ds = get_dataset(args.dataset, batch_size=args.batch_size,
                    data_dir=args.data_dir, conditional=conditional,
                    seed=args.seed, z_dim=args.z_dim,
-                   synthetic_size=args.synthetic_size)
+                   synthetic_size=args.synthetic_size,
+                   synthetic_resolution=getattr(
+                       args, "synthetic_resolution", None))
   res = ds.resolution
   num_classes = ds.num_classes
   axis_name = DATA_AXIS if args.mesh else None
@@ -245,6 +282,7 @@ def build_experiment(args) -> Trainer:
       batches_per_epoch=args.batches_per_epoch, seed=args.seed,
       score_every=args.score_every,
       device_data=bool(args.device_data),
+      device_data_limit=args.device_data_limit,
       steps_per_call=args.steps_per_call)
 
   mesh = None

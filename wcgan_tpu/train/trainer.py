@@ -17,6 +17,7 @@ reference-style checkpoint parity.
 
 from __future__ import annotations
 
+import concurrent.futures
 import dataclasses
 import os
 import time
@@ -88,6 +89,8 @@ class Trainer:
     self._window_elems = 0
     self._data_sharding = None
     self._window_rng = np.random.default_rng(cfg.seed + 17)
+    self._window_exec = None
+    self._window_future = None
     if cfg.device_data:
       self._steps_per_call = max(cfg.steps_per_call, 1)
       n_total = len(dataset.images)
@@ -116,6 +119,14 @@ class Trainer:
             steps_per_call=self._steps_per_call)
       if not self._window_elems:
         self._device_data = self._stage(np.arange(n))
+      else:
+        # Double-buffered staging (SURVEY.md §2b >HBM datasets): window
+        # N+1 is sliced on host and its device transfer started WHILE
+        # window N trains, so epochs see no upload stall. Costs a second
+        # window of HBM — size device_data_limit accordingly.
+        self._window_exec = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="window-stage")
+        self._window_future = self._window_exec.submit(self._make_window)
     elif mesh is not None:
       self.step_fn = step_lib.make_sharded_step(
           mesh, g_module, d_module, g_tx, d_tx, gan_cfg)
@@ -185,12 +196,21 @@ class Trainer:
               jax.device_put(labels, self._data_sharding))
     return jnp.asarray(imgs), jnp.asarray(labels)
 
+  def _make_window(self):
+    idx = self._window_rng.choice(len(self.ds.images),
+                                  size=self._window_elems,
+                                  replace=False)
+    return self._stage(np.sort(idx))
+
   def _maybe_rotate_window(self) -> None:
-    if self._window_elems:
-      idx = self._window_rng.choice(len(self.ds.images),
-                                    size=self._window_elems,
-                                    replace=False)
-      self._device_data = self._stage(np.sort(idx))
+    if not self._window_elems:
+      return
+    if self._window_future is not None:
+      self._device_data = self._window_future.result()
+      # Stage the NEXT window while this epoch trains.
+      self._window_future = self._window_exec.submit(self._make_window)
+    else:  # window mode forced post-construction: synchronous fallback
+      self._device_data = self._make_window()
 
   # -- diagnostics -------------------------------------------------------------
 
