@@ -9,9 +9,10 @@ reference's CIFAR-10 headline configuration [U]. imgs/sec counts real
 images consumed per second (training_ratio * batch per outer step).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` divides by the documented TF/Keras-1.x V100 estimate in
-BASELINE.md (the reference never published throughput; >=5x is the
-north-star target).
+``vs_baseline`` divides by a V100 baseline derived from a MEASURED
+same-math TF proxy (scripts/baseline_proxy.py) scaled by a documented
+CPU->V100 peak-FLOPs factor — see BASELINE.md (the reference never
+published throughput; >=5x is the north-star target).
 """
 
 from __future__ import annotations
@@ -20,10 +21,17 @@ import json
 import sys
 import time
 
-# The reference TF/Keras-on-V100 G+D step throughput was never published;
-# BASELINE.md documents this estimate (per-sess.run overhead + 5 D steps +
-# 1 G step at batch 64 on V100-class hardware).
-BASELINE_IMGS_PER_SEC = 500.0
+# The reference TF/Keras-on-V100 G+D step throughput was never published.
+# Denominator = MEASURED same-math reference-style TF proxy on this host's
+# CPU (scripts/baseline_proxy.py --impl tf: graph-mode TF, one dispatch +
+# host feed per update, Cholesky WC + SN ResNet — 7.86 imgs/sec on the
+# 1-core AVX-512 Xeon @2.1GHz), scaled by the peak-f32-FLOPs CPU->V100
+# ratio 15.7 TF / 134 GF ~= 117x. Pure-FLOPs scaling ignores the
+# reference's fixed per-sess.run host overhead, so this OVERSTATES the
+# V100 baseline => vs_baseline is a lower bound. Details in BASELINE.md.
+TF_PROXY_CPU_IMGS_PER_SEC = 7.86     # measured 2026-08-16
+CPU_TO_V100_PEAK_FLOPS = 117.0       # documented scaling factor
+BASELINE_IMGS_PER_SEC = TF_PROXY_CPU_IMGS_PER_SEC * CPU_TO_V100_PEAK_FLOPS
 
 
 def main() -> int:
