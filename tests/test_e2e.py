@@ -41,6 +41,11 @@ def test_artifacts_produced(rundirs):
     for k in ("d_loss", "g_loss"):
       if k in r:
         assert np.isfinite(r[k])
+  # Whitening-health observability: the NS residual probe must report a
+  # converged inverse sqrt on these well-conditioned smoke covariances.
+  resid = [r["wc_whiten_residual_max"] for r in records
+           if "wc_whiten_residual_max" in r]
+  assert resid and all(np.isfinite(v) for v in resid)
   ckpt_run = os.path.join(ckpt, "smoke")
   assert os.path.isdir(os.path.join(ckpt_run, "epoch_1"))
   assert os.path.exists(os.path.join(ckpt_run, "epoch_1_generator.npz"))

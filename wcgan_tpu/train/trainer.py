@@ -214,6 +214,35 @@ class Trainer:
 
   # -- diagnostics -------------------------------------------------------------
 
+  def _ns_residuals(self):
+    """Whitening convergence probe: max|W Σ Wᵀ − I| per WC layer, with W
+    from the SAME Newton–Schulz configuration the model runs (ns_iters,
+    f32). Condition number alone does not prove the inverse sqrt still
+    converges once Σ drifts past the calibration range (ops/whiten.py
+    was calibrated on cond 3–477); this measures it directly, on host,
+    off the hot path."""
+    iters = getattr(self.g.cfg, "ns_iters", 15)
+    eps = 1e-5
+    res = [0.0]
+    for path, leaf in jax.tree_util.tree_flatten_with_path(
+        self.state.g_state.get("wc_stats", {}))[0]:
+      if "cov" not in "/".join(str(p) for p in path):
+        continue
+      cov = np.asarray(leaf, np.float32)
+      if cov.ndim != 2 or cov.shape[0] != cov.shape[1]:
+        continue
+      c = cov.shape[0]
+      ident = np.eye(c, dtype=np.float32)
+      a = cov + eps * ident
+      tr = np.trace(a)
+      y, z = a / tr, ident.copy()
+      for _ in range(iters):
+        t = 0.5 * (3.0 * ident - z @ y)
+        y, z = y @ t, t @ z
+      w = z / np.sqrt(tr)
+      res.append(float(np.max(np.abs(w @ cov @ w.T - ident))))
+    return res
+
   def diagnostics(self) -> Dict[str, float]:
     """Cheap health probes (SURVEY.md §5 observability row): condition
     number of each WC layer's running covariance (whitening difficulty /
@@ -229,7 +258,8 @@ class Trainer:
     out: Dict[str, float] = {}
     if conds:
       out.update(wc_cov_cond_max=max(conds),
-                 wc_cov_cond_mean=float(np.mean(conds)))
+                 wc_cov_cond_mean=float(np.mean(conds)),
+                 wc_whiten_residual_max=max(self._ns_residuals()))
     # Spectral-norm observability (SURVEY.md §5 sigma estimates): sigma
     # of the RAW D kernels — SN divides these out at apply time, so this
     # tracks raw kernel scale growth (the quantity SN keeps in check).
