@@ -69,6 +69,22 @@ def test_resume_and_test_phase(rundirs):
   assert main(testargs) == 0
 
 
+def test_resume_auto_infers_start_epoch(tmp_path):
+  """--resume auto without an explicit --start_epoch must continue the
+  epoch schedule from the checkpoint, not relabel from 0 (and not train
+  number_of_epochs extra epochs)."""
+  out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+  base = TINY + ["--output_dir", out, "--checkpoints_dir", ckpt,
+                 "--name", "ar"]
+  assert main(base + ["--number_of_epochs", "2"]) == 0
+  assert main(base + ["--number_of_epochs", "4", "--resume", "auto"]) == 0
+  log = open(os.path.join(out, "ar", "log.txt")).read()
+  assert "(start_epoch 2)" in log
+  assert "Epoch 2:" in log and "Epoch 3:" in log
+  # epochs 0/1 ran once (before resume), not again after it:
+  assert log.count("Epoch 0:") == 1 and log.count("Epoch 1:") == 1
+
+
 def test_mesh_training_via_cli(tmp_path):
   """Data-parallel path through the real CLI on the 8-device CPU mesh:
   sharded device-resident dataset, cross-replica whitening, checkpoints."""

@@ -345,7 +345,18 @@ def main(argv=None) -> int:
     latest = trainer.latest_checkpoint()
     if latest:
       trainer.restore_checkpoint(latest)
-      trainer.logger.line(f"resumed from {latest}")
+      # Infer where to continue unless the user pinned --start_epoch
+      # (reference semantics: manual --start_epoch N [U]); without this
+      # an auto-resume relabels epochs from 0 and runs a full
+      # number_of_epochs more instead of finishing the schedule.
+      if args.start_epoch == 0:
+        base = os.path.basename(latest.rstrip(os.sep))
+        try:
+          trainer.cfg.start_epoch = int(base.split("_")[1]) + 1
+        except (IndexError, ValueError):
+          pass
+      trainer.logger.line(f"resumed from {latest} "
+                          f"(start_epoch {trainer.cfg.start_epoch})")
   elif args.resume:
     trainer.restore_checkpoint(args.resume)
   if args.generator_checkpoint:
