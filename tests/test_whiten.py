@@ -137,3 +137,22 @@ def test_ill_conditioned_covariance(rng):
   out, _, _ = whiten.whiten_train(
       x, jnp.zeros(32), jnp.eye(32), eps=1e-3, num_iters=20)
   assert np.isfinite(np.asarray(out)).all()
+
+
+def test_set_precision_switch(rng):
+  """--whitening_precision plumbing: 'high' still whitens correctly (on
+  CPU both modes are exact f32 — this exercises the switch + cache
+  clearing + validation, the numerics trade is measured on TPU in
+  ops/whiten.py's docstring)."""
+  c = 16
+  x = jnp.asarray(rng.standard_normal((512, c)).astype(np.float32) * 3)
+  try:
+    whiten.set_precision("high")
+    out, _, _ = whiten.whiten_train(x, jnp.zeros(c), jnp.eye(c))
+    mean, cov = whiten.batch_moments(out)
+    np.testing.assert_allclose(np.asarray(mean), np.zeros(c), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(cov), np.eye(c), atol=1e-3)
+    with pytest.raises(ValueError):
+      whiten.set_precision("bf16")
+  finally:
+    whiten.set_precision("highest")

@@ -30,9 +30,34 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-# float32 + HIGHEST everywhere in the whitening math. bf16 MXU passes do not
-# converge for Newton--Schulz (measured; see module docstring).
+# float32 + HIGHEST everywhere in the whitening math by default. bf16 MXU
+# passes (DEFAULT) do not converge for Newton--Schulz (measured; see module
+# docstring). HIGH (3-pass bf16 emulation instead of 6) is a measured
+# 3.9% end-to-end outer-step win at a 20x higher whitening-residual floor
+# (max|W cov W^T - I| 6.1e-4 vs 2.8e-5 over the 7 trained covariances of
+# the 50k-step soak checkpoint, cond up to 3.8e3 — still far below bf16
+# activation noise). Select with set_precision("high") / the CLI's
+# --whitening_precision; jit caches are keyed per traced program, so set
+# it once at startup (it is read at trace time).
 _HIGHEST = lax.Precision.HIGHEST
+
+
+def set_precision(name: str) -> None:
+  """Set the precision of all whitening-path matmuls: 'highest' (default)
+  or 'high'. On CPU both are exact f32 (passes are an MXU concept)."""
+  global _HIGHEST
+  try:
+    _HIGHEST = {"highest": lax.Precision.HIGHEST,
+                "high": lax.Precision.HIGH}[name]
+  except KeyError:
+    raise ValueError(f"whitening precision must be 'highest' or 'high', "
+                     f"got {name!r}")
+  # The jitted wrappers in this module close over module state read at
+  # trace time; drop their caches so a mid-process switch retraces.
+  for fn in (batch_moments, newton_schulz_inv_sqrt, newton_schulz_sqrt,
+             inv_sqrt, whiten_apply, whiten_train, whiten_eval):
+    if hasattr(fn, "clear_cache"):
+      fn.clear_cache()
 
 
 def _f32(x: jax.Array) -> jax.Array:
