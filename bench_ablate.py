@@ -55,7 +55,49 @@ def bench_variant(norm: str, dtype: str, ns_iters: int,
   return steps * ratio * batch / dt
 
 
+def bench_sampling(dtype: str, batch=256, zdim=128, res=32, ns_iters=15,
+                   steps=30):
+  """Sampling/eval path (the scorer's workload): G.apply(train=False) on
+  running stats, fused whiten_color_apply kernel AUTO vs forced OFF
+  (VERDICT r1 #3 evidence). The gate is patched at the module level —
+  it is read at trace time, so each variant jits its own program."""
+  from wcgan_tpu.models import layers as L
+  gcfg = GeneratorConfig(
+      z_dim=zdim, resolution=res, base_resolution=4,
+      filters=(256, 256, 256), block_norm="d", last_norm="d",
+      ns_iters=ns_iters, dtype=dtype, block_coloring="uconv",
+      last_coloring="uconv")
+  g = Generator(cfg=gcfg)
+  z = jax.random.normal(jax.random.PRNGKey(0), (batch, zdim), jnp.float32)
+  variables = g.init(jax.random.PRNGKey(1), z, train=True)
+
+  out = {}
+  orig = L._pallas_eval_ok
+  for name, gate in (("fused_kernel", orig),
+                     ("xla_split", lambda *_: False)):
+    L._pallas_eval_ok = gate
+    try:
+      fn = jax.jit(lambda v, zz: g.apply(v, zz, train=False))
+      imgs = fn(variables, z)
+      float(imgs[0, 0, 0, 0])  # fence
+      t0 = time.perf_counter()
+      for _ in range(steps):
+        imgs = fn(variables, z)
+      float(imgs[0, 0, 0, 0])
+      out[name] = steps * batch / (time.perf_counter() - t0)
+    finally:
+      L._pallas_eval_ok = orig
+  return out
+
+
 def main():
+  if "--sampling" in sys.argv:
+    for dtype in ("bfloat16", "float32"):
+      r = bench_sampling(dtype)
+      print(json.dumps({"mode": "sampling", "dtype": dtype,
+                        **{k: round(v, 1) for k, v in r.items()}}),
+            flush=True)
+    return
   variants = [
       ("d", "float32", 15), ("d", "bfloat16", 15),
       ("b", "float32", 15), ("n", "float32", 15),

@@ -64,9 +64,10 @@ def test_wc_apply_kernel_compiled(tpu_ok, rng):
   assert err < 5e-3, err
 
 
-def test_model_eval_pallas_auto_matches_jnp_on_tpu(tpu_ok, rng):
-  """On TPU the eval path auto-selects the fused kernel (pallas_eval
-  default None): compare against the forced-off jnp path, compiled."""
+def test_model_eval_pallas_forced_matches_jnp_on_tpu(tpu_ok, rng):
+  """The fused eval kernel (pallas_eval=True, compiled) must match the
+  XLA split path — the product default since the measured sampling-path
+  regression (see models/layers.py::_pallas_eval_ok)."""
   import flax
   from wcgan_tpu.models.layers import NormColor
   from wcgan_tpu.ops import whiten
@@ -74,7 +75,8 @@ def test_model_eval_pallas_auto_matches_jnp_on_tpu(tpu_ok, rng):
   x = jnp.asarray(rng.standard_normal((8, 4, 4, c)).astype(np.float32))
   s = jnp.asarray(rng.standard_normal((256, c)).astype(np.float32))
   mean, cov = whiten.batch_moments(s * 1.5 + 0.3, use_pallas=False)
-  auto = NormColor(norm="d", coloring="uconv", ns_iters=15)
+  auto = NormColor(norm="d", coloring="uconv", ns_iters=15,
+                   pallas_eval=True)
   off = NormColor(norm="d", coloring="uconv", ns_iters=15,
                   pallas_eval=False)
   variables = flax.core.unfreeze(off.init(jax.random.PRNGKey(0), x))

@@ -54,13 +54,18 @@ def coloring_is_conditional(code: str) -> bool:
 
 def _pallas_eval_ok(pallas_eval: Optional[bool], method: str) -> bool:
   """Gate for the fully-fused stats-given WC kernel
-  (ops/pallas_wc.py::whiten_color_apply): auto-on when compiled TPU
-  execution is available and the inverse sqrt is Newton–Schulz (the
-  kernel's solver). ``pallas_eval`` forces it either way (True uses the
-  interpreter off-TPU — correct but slow; for tests)."""
+  (ops/pallas_wc.py::whiten_color_apply). Auto (None) = OFF: measured on
+  the real chip (bench_ablate.py --sampling, batch-256 G sampling), the
+  fused kernel is 10% slower in bf16 (27.0k vs 30.0k imgs/s) and 20%
+  slower in f32 (21.0k vs 26.4k) than the XLA split path, because the
+  split path folds ΓW once and applies rows in one bf16 MXU pass while
+  the kernel applies rows at f32/HIGHEST inside VMEM. Same verdict as the
+  r1 training-path measurement (ops/pallas_wc.py) — the kernel remains
+  available (``pallas_eval=True``; interpreter off-TPU) as the oracle-
+  tested single-pass variant, not the product default."""
   if pallas_eval is not None:
     return pallas_eval and method == "newton_schulz"
-  return method == "newton_schulz" and pallas_wc._on_tpu()
+  return False
 
 
 class DecorrelationNorm(nn.Module):
@@ -83,7 +88,7 @@ class DecorrelationNorm(nn.Module):
   mode: str = "d"
   method: str = "newton_schulz"  # or "cholesky" (oracle)
   axis_name: Optional[str] = None
-  pallas_eval: Optional[bool] = None  # None = auto (fused kernel on TPU)
+  pallas_eval: Optional[bool] = None  # None/False = XLA split path (measured faster); True forces the fused kernel
 
   @nn.compact
   def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
@@ -96,9 +101,9 @@ class DecorrelationNorm(nn.Module):
     axis = None if self.is_initializing() else self.axis_name
 
     if not train:
-      # Stats-given inference: the fully-fused Pallas kernel (NS solve +
-      # apply in one VMEM-resident pass) with an identity coloring; the
-      # XLA path is the off-TPU / cholesky fallback and the grad oracle.
+      # Stats-given inference. pallas_eval=True forces the fused kernel
+      # (NS solve + apply, one VMEM pass) with identity coloring; the
+      # XLA path is the measured-faster default and the grad oracle.
       if _pallas_eval_ok(self.pallas_eval, self.method):
         out = pallas_wc.whiten_color_apply(
             x2d, r_mean.value, r_cov.value,
@@ -289,7 +294,7 @@ class NormColor(nn.Module):
   ns_iters: int = 15
   method: str = "newton_schulz"
   axis_name: Optional[str] = None
-  pallas_eval: Optional[bool] = None  # None = auto (fused kernel on TPU)
+  pallas_eval: Optional[bool] = None  # None/False = XLA split path (measured faster); True forces the fused kernel
 
   @nn.compact
   def __call__(self, x: jax.Array, labels: Optional[jax.Array] = None,
@@ -331,10 +336,9 @@ class NormColor(nn.Module):
     else:
       mean, stat_src = r_mean.value, r_cov.value
       if _pallas_eval_ok(self.pallas_eval, self.method):
-        # Inference: stats given, no grads needed — the fully-fused
-        # kernel (NS inverse sqrt + Gamma-fold + row apply, one VMEM
-        # pass) IS the whole layer here (ops/pallas_wc.py north-star
-        # fusion). This is the sampling path the scorer drives.
+        # Forced-on fused kernel (NS inverse sqrt + Gamma-fold + row
+        # apply, one VMEM pass). Not the default: measured slower than
+        # the split path on-chip — see _pallas_eval_ok.
         out = pallas_wc.whiten_color_apply(
             x2d, mean, stat_src, gamma, beta,
             ns_iters=self.ns_iters, eps=self.eps)

@@ -235,8 +235,13 @@ def whiten_color_apply(x2d: jax.Array, mean: jax.Array, cov: jax.Array,
   Newton-Schulz inverse square root, the coloring fold M = Gamma W and
   bias, and the row-block apply ``(x - mean) (Gamma W)^T + beta`` —
   covariance inverse-sqrt + coloring 1x1 in a single VMEM-resident pass
-  (the north-star fusion). With running statistics this IS the whole
-  inference-mode WC layer; in training, pair with :func:`moments`.
+  (the north-star fusion). With running statistics this computes the
+  whole inference-mode WC layer in one kernel; in training, pair with
+  :func:`moments`. NOTE it is not the product default anywhere: both the
+  training path (below) and the sampling path (bench_ablate.py
+  --sampling: 10-20% slower than the split path at batch-256 G sampling,
+  recorded in BASELINE.md) measured in favor of the XLA split design;
+  models/layers.py forces it only under ``pallas_eval=True``.
 
   Forward-only; the training path uses the equivalent jnp fold
   (models/layers.py), which autodiff handles. Measured head-to-head on
