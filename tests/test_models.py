@@ -238,3 +238,48 @@ def test_remat_matches_no_remat():
   for a, b in zip(jax.tree_util.tree_leaves(grad0),
                   jax.tree_util.tree_leaves(grad1)):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.mark.parametrize("code", ["cconv", "ucconv", "cconv-sa",
+                                  "ucconv-sa"])
+@pytest.mark.parametrize("hw", [2, 4])  # S=4 < C (two-pass) / S=16 >= C (fold)
+def test_fused_wc_cond_matches_composition(code, hw):
+  """The per-image (G_i W) folded conditional path == whiten-then-color
+  composition (NormLayer + Coloring semantics), every conditional conv
+  code, both the fold (S >= C) and two-pass (S < C) branches."""
+  import numpy as np
+  from wcgan_tpu.models import layers as L
+  from wcgan_tpu.ops import coloring as cops
+  from wcgan_tpu.ops import whiten as wops
+
+  rng = np.random.default_rng(0)
+  n, c, k, ncls = 6, 12, 3, 5
+  x = jnp.asarray(rng.standard_normal((n, hw, hw, c)).astype(np.float32))
+  y = jnp.asarray(rng.integers(0, ncls, n).astype(np.int32))
+  nc = L.NormColor(norm="d", coloring=code, num_classes=ncls,
+                   filters_emb=k, ns_iters=12)
+  variables = nc.init(KEY, x, y, train=True)
+  params = dict(variables["params"])
+  # Perturb every learned tensor away from its init.
+  for name in params:
+    params[name] = jnp.asarray(
+        rng.standard_normal(params[name].shape).astype(np.float32) * 0.3)
+  variables = {"params": params, "wc_stats": variables["wc_stats"]}
+  out, _ = nc.apply(variables, x, y, train=True, mutable=["wc_stats"])
+
+  xh, _, _ = wops.whiten_train(x.reshape(-1, c), jnp.zeros(c),
+                               jnp.eye(c), num_iters=12)
+  x3d = xh.reshape(n, -1, c)
+  agn = (params.get("gamma_a"), params.get("beta_a"))
+  if code in ("cconv", "ucconv"):
+    ref = cops.color_cond(x3d, y, params["gamma_c"], params["beta_c"],
+                          *((agn) if code == "ucconv" else (None, None)))
+  else:
+    ref = cops.color_cond_sa(x3d, y, params["basis"],
+                             params["embedding"], params["beta_c"],
+                             *((agn) if code == "ucconv-sa"
+                               else (None, None)))
+  if code in ("cconv", "cconv-sa"):
+    ref = ref + x3d  # identity skip of the pure-conditional codes
+  np.testing.assert_allclose(np.asarray(out),
+                             np.asarray(ref.reshape(x.shape)), atol=3e-4)

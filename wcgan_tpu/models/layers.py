@@ -301,6 +301,9 @@ class NormColor(nn.Module):
                train: bool = True) -> jax.Array:
     if self.norm in ("d", "dr") and self.coloring == "uconv":
       return self._fused_wc_uconv(x, train)
+    if (self.norm in ("d", "dr") and self.coloring in
+        ("cconv", "ucconv", "cconv-sa", "ucconv-sa")):
+      return self._fused_wc_cond(x, labels, train)
     x = NormLayer(code=self.norm, momentum=self.momentum, eps=self.eps,
                   ns_iters=self.ns_iters, method=self.method,
                   axis_name=self.axis_name, pallas_eval=self.pallas_eval,
@@ -309,51 +312,129 @@ class NormColor(nn.Module):
                  filters_emb=self.filters_emb, name="color")(x, labels)
     return x
 
-  def _fused_wc_uconv(self, x: jax.Array, train: bool) -> jax.Array:
-    c = x.shape[-1]
+  def _wc_stats(self, x2d: jax.Array, train: bool):
+    """Whitening statistics + EMA updates shared by the fused paths:
+    returns (mean, stat_src) — the transform's source moments per the
+    'd'/'dr' semantics — after updating the running stats."""
+    c = x2d.shape[-1]
     r_mean = self.variable("wc_stats", "mean",
                            lambda: jnp.zeros((c,), jnp.float32))
     r_cov = self.variable("wc_stats", "cov",
                           lambda: jnp.eye(c, dtype=jnp.float32))
+    if not train:
+      return r_mean.value, r_cov.value
+    axis = None if self.is_initializing() else self.axis_name
+    batch_mean, batch_cov = whiten_ops.batch_moments(x2d, axis_name=axis)
+    if self.mode_uses_batch:            # 'd': transform from batch stats
+      mean, stat_src = batch_mean, batch_cov
+    else:                               # 'dr': from (pre-update) running
+      mean, stat_src = r_mean.value, r_cov.value
+    if not self.is_initializing():
+      r_mean.value = (self.momentum * r_mean.value
+                      + (1 - self.momentum) * batch_mean)
+      r_cov.value = (self.momentum * r_cov.value
+                     + (1 - self.momentum) * batch_cov)
+    return mean, stat_src
+
+  def _w(self, stat_src: jax.Array) -> jax.Array:
+    if self.method == "cholesky":
+      return whiten_ops.cholesky_inv_sqrt(stat_src, eps=self.eps)
+    return whiten_ops.newton_schulz_inv_sqrt(
+        stat_src, num_iters=self.ns_iters, eps=self.eps)
+
+  def _fused_wc_uconv(self, x: jax.Array, train: bool) -> jax.Array:
+    c = x.shape[-1]
     gamma = self.param(
         "gamma", lambda k, s, d: jnp.eye(s[0], s[1], dtype=d),
         (c, c), jnp.float32)
     beta = self.param("beta", nn.initializers.zeros, (c,), jnp.float32)
 
     x2d = x.reshape(-1, c)
-    axis = None if self.is_initializing() else self.axis_name
-    if train:
-      batch_mean, batch_cov = whiten_ops.batch_moments(x2d, axis_name=axis)
-      if self.mode_uses_batch:          # 'd': transform from batch stats
-        mean, stat_src = batch_mean, batch_cov
-      else:                             # 'dr': from (pre-update) running
-        mean, stat_src = r_mean.value, r_cov.value
-      if not self.is_initializing():
-        r_mean.value = (self.momentum * r_mean.value
-                        + (1 - self.momentum) * batch_mean)
-        r_cov.value = (self.momentum * r_cov.value
-                       + (1 - self.momentum) * batch_cov)
-    else:
-      mean, stat_src = r_mean.value, r_cov.value
-      if _pallas_eval_ok(self.pallas_eval, self.method):
-        # Forced-on fused kernel (NS inverse sqrt + Gamma-fold + row
-        # apply, one VMEM pass). Not the default: measured slower than
-        # the split path on-chip — see _pallas_eval_ok.
-        out = pallas_wc.whiten_color_apply(
-            x2d, mean, stat_src, gamma, beta,
-            ns_iters=self.ns_iters, eps=self.eps)
-        return out.astype(x.dtype).reshape(x.shape)
+    mean, stat_src = self._wc_stats(x2d, train)
+    if not train and _pallas_eval_ok(self.pallas_eval, self.method):
+      # Forced-on fused kernel (NS inverse sqrt + Gamma-fold + row
+      # apply, one VMEM pass). Not the default: measured slower than
+      # the split path on-chip — see _pallas_eval_ok.
+      out = pallas_wc.whiten_color_apply(
+          x2d, mean, stat_src, gamma, beta,
+          ns_iters=self.ns_iters, eps=self.eps)
+      return out.astype(x.dtype).reshape(x.shape)
 
-    if self.method == "cholesky":
-      w = whiten_ops.cholesky_inv_sqrt(stat_src, eps=self.eps)
-    else:
-      w = whiten_ops.newton_schulz_inv_sqrt(
-          stat_src, num_iters=self.ns_iters, eps=self.eps)
+    w = self._w(stat_src)
     m = jnp.matmul(gamma, w,
                    precision=lax.Precision.HIGHEST)          # (C, C) fold
     bias = beta - jnp.matmul(mean, m.T,
                              precision=lax.Precision.HIGHEST)
     out = jnp.matmul(x2d, m.T.astype(x.dtype)) + bias.astype(x.dtype)
+    return out.reshape(x.shape)
+
+  def _fused_wc_cond(self, x: jax.Array, labels: Optional[jax.Array],
+                     train: bool) -> jax.Array:
+    """Whitening + conditional coloring with the W-fold done per IMAGE.
+
+    The general path whitens every row in f32/HIGHEST and then colors
+    every row again (two to three R-row matmuls, 6-pass each); here the
+    per-image coloring matrix G_i (class filter [+ agnostic branch, +
+    identity skip for the pure-conditional codes]) is folded with the
+    whitening matrix ONCE per image — M_i = G_i W is a C^3 matmul, ~C/S
+    of one row pass — and the rows see a single bf16 MXU matmul, exactly
+    like the unconditional fold. Measured: see BASELINE.md (r2
+    conditional fold ablation). Same math as NormLayer+Coloring
+    (tests/test_models.py oracle check); parameter names/inits mirror
+    ``Coloring`` so the learned transform is identical."""
+    if labels is None:
+      raise ValueError(f"coloring code {self.coloring!r} requires labels")
+    if self.num_classes <= 0:
+      raise ValueError("conditional coloring requires num_classes > 0")
+    c = x.shape[-1]
+    pd = jnp.float32
+
+    def eye_init(key, shape, dtype):
+      del key
+      return jnp.eye(shape[0], shape[1], dtype=dtype)
+
+    agnostic = self.coloring in ("ucconv", "ucconv-sa")
+    if agnostic:
+      gamma_a = self.param("gamma_a", eye_init, (c, c), pd)
+      beta_a = self.param("beta_a", nn.initializers.zeros, (c,), pd)
+    if self.coloring in ("cconv", "ucconv"):
+      gamma_c = self.param("gamma_c", nn.initializers.normal(stddev=0.02),
+                           (self.num_classes, c, c), pd)
+      g_img = gamma_c[labels]                            # (N, C, C)
+    else:                                                # '-sa'
+      basis = self.param("basis", nn.initializers.normal(stddev=0.02),
+                         (self.filters_emb, c, c), pd)
+      emb = self.param("embedding", nn.initializers.ones,
+                       (self.num_classes, self.filters_emb), pd)
+      g_img = jnp.einsum("nk,koc->noc", emb[labels], basis,
+                         precision=lax.Precision.HIGHEST)
+    beta_c = self.param("beta_c", nn.initializers.zeros,
+                        (self.num_classes, c), pd)
+    # Combined per-image coloring: class branch + (agnostic | identity
+    # skip) — matches Coloring's 'ucconv'/'cconv' composition exactly.
+    g_img = g_img + (gamma_a if agnostic else jnp.eye(c, dtype=pd))
+    b_img = beta_c[labels] + (beta_a if agnostic else 0.0)   # (N, C)
+
+    x3d = _as_nsc(x)
+    mean, stat_src = self._wc_stats(x.reshape(-1, c), train)
+    w = self._w(stat_src)
+    if x3d.shape[1] >= c:
+      # Enough rows per image to amortize the C^3 fold: ONE bf16 row pass.
+      m_img = jnp.einsum("noc,ce->noe", g_img, w,
+                         precision=lax.Precision.HIGHEST)  # per-image fold
+      bias = b_img - jnp.einsum("c,noc->no", mean, m_img,
+                                precision=lax.Precision.HIGHEST)
+      out = jnp.einsum("nsc,noc->nso", x3d, m_img.astype(x.dtype))
+    else:
+      # Low-res blocks (S < C): the fold itself would dominate — apply W
+      # then G_i as two bf16 row passes instead (same activation-level
+      # bf16 noise as the folded matmul).
+      bias_w = -jnp.matmul(mean, w.T, precision=lax.Precision.HIGHEST)
+      xh = (jnp.matmul(x3d, w.T.astype(x.dtype))
+            + bias_w.astype(x.dtype))
+      out = jnp.einsum("nsc,noc->nso", xh, g_img.astype(x.dtype))
+      bias = b_img
+    out = out + bias.astype(x.dtype)[:, None, :]
     return out.reshape(x.shape)
 
   @property
