@@ -127,3 +127,31 @@ def test_short_trainer_epoch_on_chip(tmp_path, tpu_ok):
   trainer.train()
   log = tmp_path / "out" / "tpu_smoke" / "log.txt"
   assert log.exists() and "Epoch 0" in log.read_text()
+
+
+def test_fused_wc_cond_on_chip(tpu_ok, rng):
+  """The per-image (G_i W) fold (models/layers.py::_fused_wc_cond),
+  compiled on the chip, against the host-computed whiten-then-color
+  composition — both branches (fold at S>=C, two-pass at S<C)."""
+  import flax
+  from wcgan_tpu.models.layers import NormColor
+  from wcgan_tpu.ops import coloring as cops
+  from wcgan_tpu.ops import whiten as wops
+  n, c, ncls = 8, 32, 5
+  for hw in (4, 8):  # S=16 < C / S=64 >= C
+    x = jnp.asarray(rng.standard_normal((n, hw, hw, c)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, ncls, n).astype(np.int32))
+    nc = NormColor(norm="d", coloring="ucconv", num_classes=ncls,
+                   ns_iters=15)
+    variables = flax.core.unfreeze(nc.init(jax.random.PRNGKey(0), x, y,
+                                           train=True))
+    out, _ = jax.jit(
+        lambda v, a, b: nc.apply(v, a, b, train=True,
+                                 mutable=["wc_stats"]))(variables, x, y)
+    p = variables["params"]
+    xh, _, _ = wops.whiten_train(x.reshape(-1, c), jnp.zeros(c),
+                                 jnp.eye(c), num_iters=15)
+    ref = cops.color_cond(xh.reshape(n, -1, c), y, p["gamma_c"],
+                          p["beta_c"], p["gamma_a"], p["beta_a"])
+    err = float(jnp.max(jnp.abs(out - ref.reshape(x.shape))))
+    assert err < 5e-3, (hw, err)
