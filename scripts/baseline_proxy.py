@@ -315,11 +315,19 @@ def run_jax(outer_steps: int) -> dict:
 
 
 def main() -> int:
+  global RATIO
   p = argparse.ArgumentParser()
   p.add_argument("--impl", choices=["tf", "jax"], required=True)
   p.add_argument("--outer_steps", type=int, default=3)
+  p.add_argument("--ratio", type=int, default=5,
+                 help="D updates per outer step. The full 5:1 fused jax "
+                      "program exceeded 2h of 1-core XLA compile time; "
+                      "--ratio 1 keeps the per-update math identical on "
+                      "both impls with a third of the graph")
   a = p.parse_args()
+  RATIO = a.ratio
   out = (run_tf if a.impl == "tf" else run_jax)(a.outer_steps)
+  out["ratio"] = a.ratio
   out["imgs_per_sec"] = round(out["imgs_per_sec"], 2)
   out["seconds"] = round(out["seconds"], 2)
   print(json.dumps(out))
