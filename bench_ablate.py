@@ -90,7 +90,53 @@ def bench_sampling(dtype: str, batch=256, zdim=128, res=32, ns_iters=15,
   return out
 
 
+def bench_shape(name: str, res: int, ncls: int, coloring: str,
+                batch=64, zdim=128, ratio=5, steps=20):
+  """Fused-step throughput at the non-CIFAR BASELINE config shapes
+  (paper §5 widths via the models' preset_filters)."""
+  from wcgan_tpu.models.discriminator import preset_filters as d_presets
+  from wcgan_tpu.models.generator import preset_filters as g_presets
+  gf = g_presets("res", res)
+  df, down = d_presets("res", res)
+  gcfg = GeneratorConfig(
+      z_dim=zdim, resolution=res, base_resolution=res // (2 ** len(gf)),
+      filters=gf, num_classes=ncls, block_norm="d", last_norm="d",
+      block_coloring=coloring, last_coloring=coloring, ns_iters=15,
+      dtype="bfloat16")
+  dcfg = DiscriminatorConfig(
+      resolution=res, filters=df, downsample=down, num_classes=ncls,
+      projection=ncls > 0, ns_iters=15, dtype="bfloat16")
+  g, d = Generator(cfg=gcfg), Discriminator(cfg=dcfg)
+  cfg = GANConfig(training_ratio=ratio, generator_batch_multiple=2,
+                  z_dim=zdim, random_flip=True, num_classes=ncls)
+  g_tx, d_tx = schedules.adam(2e-4), schedules.adam(2e-4)
+  state = create_state(g, d, g_tx, d_tx, jax.random.PRNGKey(0),
+                       batch_size=batch, z_dim=zdim,
+                       image_shape=(res, res, 3), num_classes=ncls)
+  step_fn = make_jit_step(g, d, g_tx, d_tx, cfg, donate=True)
+  real = jax.random.randint(jax.random.PRNGKey(1),
+                            (ratio, batch, res, res, 3), 0, 256
+                            ).astype(jnp.uint8)
+  labels = jax.random.randint(jax.random.PRNGKey(2), (ratio, batch), 0,
+                              max(ncls, 1)).astype(jnp.int32)
+  state, metrics = step_fn(state, real, labels)
+  float(metrics["d_loss"])
+  t0 = time.perf_counter()
+  for _ in range(steps):
+    state, metrics = step_fn(state, real, labels)
+  float(metrics["d_loss"])
+  return steps * ratio * batch / (time.perf_counter() - t0)
+
+
 def main():
+  if "--shapes" in sys.argv:
+    for name, res, ncls, coloring in (
+        ("stl10_uncond_48", 48, 0, "uconv"),
+        ("tiny_imagenet_cwcsa_64", 64, 200, "ucconv-sa")):
+      v = bench_shape(name, res, ncls, coloring)
+      print(json.dumps({"config": name, "imgs_per_sec": round(v, 1)}),
+            flush=True)
+    return
   if "--sampling" in sys.argv:
     for dtype in ("bfloat16", "float32"):
       r = bench_sampling(dtype)

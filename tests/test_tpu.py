@@ -6,7 +6,8 @@ Run serialized (the tunnel is single-tenant):
 
 Covers what the CPU suite cannot: the two Pallas kernels COMPILED (not
 interpreted), the fused train step on the chip, the model eval path with
-the fused kernel auto-enabled, and one short real-chip trainer epoch.
+the fused kernel forced on (vs the split-path default), the conditional
+W-fold, and one short real-chip trainer epoch.
 Every device check fetches a host scalar (float(...)) — on this platform
 ``jax.block_until_ready`` does not actually fence (CLAUDE.md).
 """
