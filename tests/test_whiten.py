@@ -156,3 +156,17 @@ def test_set_precision_switch(rng):
       whiten.set_precision("bf16")
   finally:
     whiten.set_precision("highest")
+
+
+def test_whiten_apply_bf16_single_pass(rng):
+  """bf16 activations take the one-pass bf16 row matmul; it must agree
+  with the f32 path to bf16 tolerance (the output is bf16 either way)."""
+  c = 16
+  x = rng.standard_normal((256, c)).astype(np.float32) * 2 + 1
+  mean, cov = whiten.batch_moments(jnp.asarray(x))
+  w = whiten.newton_schulz_inv_sqrt(cov)
+  ref = whiten.whiten_apply(jnp.asarray(x), mean, w)
+  out = whiten.whiten_apply(jnp.asarray(x, jnp.bfloat16), mean, w)
+  assert out.dtype == jnp.bfloat16
+  np.testing.assert_allclose(np.asarray(out, np.float32),
+                             np.asarray(ref), atol=0.15, rtol=0.05)

@@ -227,7 +227,19 @@ def cholesky_inv_sqrt(cov: jax.Array, eps: float = 1e-5) -> jax.Array:
 
 
 def whiten_apply(x2d: jax.Array, mean: jax.Array, w: jax.Array) -> jax.Array:
-  """``(x - mean) @ W^T`` — the whitening application, rows = samples."""
+  """``(x - mean) @ W^T`` — the whitening application, rows = samples.
+
+  Precision is where W is COMPUTED (moments + Newton-Schulz), not where
+  it is applied: for bf16 activations the result is rounded to bf16
+  anyway, so the row matmul runs as one native bf16 MXU pass (the mean
+  term folds into a f32 bias) instead of six f32-emulation passes —
+  the same activation-noise class at 1/6 the row cost, consistent with
+  the folded (ΓW) paths in models/layers.py. f32 activations keep the
+  full-precision pass (reference-parity mode)."""
+  if x2d.dtype == jnp.bfloat16:
+    bias = -jnp.matmul(mean, w.T, precision=_HIGHEST)
+    return (jnp.matmul(x2d, w.T.astype(jnp.bfloat16))
+            + bias.astype(jnp.bfloat16))
   out = jnp.matmul(_f32(x2d) - mean, w.T, precision=_HIGHEST)
   return out.astype(x2d.dtype)
 
