@@ -156,3 +156,28 @@ def test_fused_wc_cond_on_chip(tpu_ok, rng):
                           p["beta_c"], p["gamma_a"], p["beta_a"])
     err = float(jnp.max(jnp.abs(out - ref.reshape(x.shape))))
     assert err < 5e-3, (hw, err)
+
+
+def test_whitening_precision_high_converges_on_chip(tpu_ok, rng):
+  """--whitening_precision high (3-pass MXU emulation) must still
+  converge Newton-Schulz on an ill-conditioned covariance; DEFAULT
+  (plain bf16 passes) is the documented failure mode. Residual is
+  computed on host in f64 (a bf16 on-device check would mask it)."""
+  from wcgan_tpu.ops import whiten
+  c = 128
+  q, _ = np.linalg.qr(rng.standard_normal((c, c)))
+  eig = np.logspace(0, -3.5, c)          # cond ~3e3, like a late soak
+  cov64 = (q * eig) @ q.T
+  cov = jnp.asarray(cov64, jnp.float32)
+  try:
+    whiten.set_precision("high")
+    w = np.asarray(whiten.newton_schulz_inv_sqrt(cov), np.float64)
+  finally:
+    whiten.set_precision("highest")
+  resid = np.max(np.abs(w @ cov64 @ w.T - np.eye(c)))
+  assert resid < 5e-3, resid
+  w0 = np.asarray(whiten.newton_schulz_inv_sqrt(cov), np.float64)
+  resid0 = np.max(np.abs(w0 @ cov64 @ w0.T - np.eye(c)))
+  # On this spectrum NS-15 is iteration-limited (~4e-3) for BOTH modes:
+  # 'high' must sit at the same floor as 'highest', not above it.
+  assert resid < max(5e-3, 3 * resid0), (resid, resid0)
