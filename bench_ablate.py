@@ -73,7 +73,10 @@ def bench_sampling(dtype: str, batch=256, zdim=128, res=32, ns_iters=15,
 
   out = {}
   orig = L._pallas_eval_ok
-  for name, gate in (("fused_kernel", orig),
+  # Force each variant explicitly: the product default is now the split
+  # path (this bench is why), so "fused_kernel" must force the kernel on.
+  for name, gate in (("fused_kernel",
+                      lambda pe, m: m == "newton_schulz"),
                      ("xla_split", lambda *_: False)):
     L._pallas_eval_ok = gate
     try:
