@@ -27,9 +27,14 @@ def fmt_series(rows, key):
   if not vals:
     return None
   n = len(vals)
-  head = sum(vals[: max(n // 10, 1)]) / max(n // 10, 1)
-  mid = sum(vals[4 * n // 10: 6 * n // 10]) / max(n // 5, 1)
-  tail = sum(vals[-max(n // 10, 1):]) / max(n // 10, 1)
+  head_seg = vals[: max(n // 10, 1)]
+  head = sum(head_seg) / len(head_seg)
+  # Divide by the slice's ACTUAL length — n // 5 can disagree with it
+  # (n=14: 3 elements vs divisor 2), and for n < 5 the slice is empty.
+  mid_seg = vals[4 * n // 10: 6 * n // 10] or vals
+  mid = sum(mid_seg) / len(mid_seg)
+  tail_seg = vals[-max(n // 10, 1):]
+  tail = sum(tail_seg) / len(tail_seg)
   return (f"| `{key}` | {head:.4g} | {mid:.4g} | {tail:.4g} "
           f"| {min(vals):.4g} | {max(vals):.4g} |")
 

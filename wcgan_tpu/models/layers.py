@@ -52,6 +52,15 @@ def coloring_is_conditional(code: str) -> bool:
   return code in _COND_CODES
 
 
+def _row_precision(dtype) -> Optional[lax.Precision]:
+  """Precision for the folded row-apply matmuls, gated on activation
+  dtype like ops/whiten.py::whiten_apply: bf16 activations run one
+  native MXU pass (results round to bf16 anyway — 6 f32-emulation
+  passes buy nothing); f32 activations keep HIGHEST so f32 runs keep
+  reference-parity precision on the activation path (advisor r2)."""
+  return None if dtype == jnp.bfloat16 else lax.Precision.HIGHEST
+
+
 def _pallas_eval_ok(pallas_eval: Optional[bool], method: str) -> bool:
   """Gate for the fully-fused stats-given WC kernel
   (ops/pallas_wc.py::whiten_color_apply). Auto (None) = OFF: measured on
@@ -365,7 +374,9 @@ class NormColor(nn.Module):
                    precision=lax.Precision.HIGHEST)          # (C, C) fold
     bias = beta - jnp.matmul(mean, m.T,
                              precision=lax.Precision.HIGHEST)
-    out = jnp.matmul(x2d, m.T.astype(x.dtype)) + bias.astype(x.dtype)
+    out = (jnp.matmul(x2d, m.T.astype(x.dtype),
+                      precision=_row_precision(x.dtype))
+           + bias.astype(x.dtype))
     return out.reshape(x.shape)
 
   def _fused_wc_cond(self, x: jax.Array, labels: Optional[jax.Array],
@@ -418,21 +429,28 @@ class NormColor(nn.Module):
     x3d = _as_nsc(x)
     mean, stat_src = self._wc_stats(x.reshape(-1, c), train)
     w = self._w(stat_src)
+    # Row-apply precision mirrors whiten_apply's dtype gate: bf16
+    # activations get the single native MXU pass (the fold's whole point);
+    # f32 activations keep HIGHEST — reference-parity precision on the
+    # activation path, same as the general NormLayer+Coloring route.
+    rp = _row_precision(x.dtype)
     if x3d.shape[1] >= c:
       # Enough rows per image to amortize the C^3 fold: ONE bf16 row pass.
       m_img = jnp.einsum("noc,ce->noe", g_img, w,
                          precision=lax.Precision.HIGHEST)  # per-image fold
       bias = b_img - jnp.einsum("c,noc->no", mean, m_img,
                                 precision=lax.Precision.HIGHEST)
-      out = jnp.einsum("nsc,noc->nso", x3d, m_img.astype(x.dtype))
+      out = jnp.einsum("nsc,noc->nso", x3d, m_img.astype(x.dtype),
+                       precision=rp)
     else:
       # Low-res blocks (S < C): the fold itself would dominate — apply W
       # then G_i as two bf16 row passes instead (same activation-level
       # bf16 noise as the folded matmul).
       bias_w = -jnp.matmul(mean, w.T, precision=lax.Precision.HIGHEST)
-      xh = (jnp.matmul(x3d, w.T.astype(x.dtype))
+      xh = (jnp.matmul(x3d, w.T.astype(x.dtype), precision=rp)
             + bias_w.astype(x.dtype))
-      out = jnp.einsum("nsc,noc->nso", xh, g_img.astype(x.dtype))
+      out = jnp.einsum("nsc,noc->nso", xh, g_img.astype(x.dtype),
+                       precision=rp)
       bias = b_img
     out = out + bias.astype(x.dtype)[:, None, :]
     return out.reshape(x.shape)
