@@ -23,7 +23,10 @@ from wcgan_tpu.train.step import GANConfig, make_jit_step
 
 
 def bench_variant(norm: str, dtype: str, ns_iters: int,
-                  batch=64, zdim=128, res=32, ratio=5, steps=20):
+                  batch=64, zdim=128, res=32, ratio=5, steps=20,
+                  unroll=False, whitening_precision="highest"):
+  from wcgan_tpu.ops import whiten as whiten_ops
+  whiten_ops.set_precision(whitening_precision)
   gcfg = GeneratorConfig(
       z_dim=zdim, resolution=res, base_resolution=4,
       filters=(256, 256, 256), block_norm=norm,
@@ -35,7 +38,7 @@ def bench_variant(norm: str, dtype: str, ns_iters: int,
       dtype=dtype)
   g, d = Generator(cfg=gcfg), Discriminator(cfg=dcfg)
   cfg = GANConfig(training_ratio=ratio, generator_batch_multiple=2,
-                  z_dim=zdim, random_flip=True)
+                  z_dim=zdim, random_flip=True, unroll_d_scan=unroll)
   g_tx, d_tx = schedules.adam(2e-4), schedules.adam(2e-4)
   state = create_state(g, d, g_tx, d_tx, jax.random.PRNGKey(0),
                        batch_size=batch, z_dim=zdim,
@@ -132,6 +135,22 @@ def bench_shape(name: str, res: int, ncls: int, coloring: str,
 
 
 def main():
+  if "--swing" in sys.argv:
+    # VERDICT r2 #4: measured candidate swings at the bf16 headline
+    # shape, back-to-back for comparability.
+    swings = [
+        ("baseline_ns15_b64", dict(ns_iters=15)),
+        ("ns12_b64", dict(ns_iters=12)),
+        ("unroll_dscan_b64", dict(ns_iters=15, unroll=True)),
+        ("baseline_ns15_b128", dict(ns_iters=15, batch=128)),
+        ("ns12_high_b128", dict(ns_iters=12, batch=128,
+                                whitening_precision="high")),
+    ]
+    for name, kw in swings:
+      v = bench_variant("d", "bfloat16", **kw)
+      print(json.dumps({"swing": name, "imgs_per_sec": round(v, 1)}),
+            flush=True)
+    return
   if "--shapes" in sys.argv:
     for name, res, ncls, coloring in (
         ("stl10_uncond_48", 48, 0, "uconv"),

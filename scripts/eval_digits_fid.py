@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""Real-feature-space FID trajectory on real images (VERDICT r2 #2).
+
+The IS/FID evaluator math is unit-tested against scipy, but with no
+Inception weights on this box no *distributional* quality metric had
+ever been produced from real images through the whole
+G -> feature-net -> frechet_distance loop. This script closes that:
+
+1. Trains a small, independent convolutional feature network to
+   classify the bundled sklearn digits (the only real image data on a
+   zero-egress box) — the Inception-analog. Features = its 64-d
+   penultimate layer.
+2. Walks every full-state checkpoint of a digits GAN run
+   (``checkpoints_dir/<name>/epoch_*``), generates samples from each,
+   and computes the Fréchet distance between generated and real
+   feature moments with the SAME ``frechet_distance`` the production
+   FID path uses (``wcgan_tpu/evaluation/metrics.py``; rebuilds
+   ``gan/fid.py``'s role [U], SURVEY.md §2a).
+3. Prints the trajectory plus two calibration rows: real-vs-real split
+   FID (the floor) and noise-vs-real (the ceiling).
+
+Usage (after a digits training run with --checkpoint_ratio K):
+  python scripts/eval_digits_fid.py --checkpoints_dir /path/ck \
+      --name digits_fid_run [--samples 1797] [--platform cpu]
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def build_feature_net(images_u8, labels, rng_seed=0, steps=600,
+                      batch=256, lr=1e-3):
+  """Train the judge CNN; returns (feature_fn, train_accuracy).
+
+  feature_fn: uint8 NHWC -> (N, 64) float32 penultimate features.
+  """
+  import jax
+  import jax.numpy as jnp
+  import optax
+  from flax import linen as nn
+
+  class Judge(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+      x = nn.relu(nn.Conv(32, (3, 3))(x))
+      x = nn.avg_pool(x, (2, 2), (2, 2))
+      x = nn.relu(nn.Conv(64, (3, 3))(x))
+      x = jnp.mean(x, axis=(1, 2))
+      feats = nn.relu(nn.Dense(64)(x))
+      logits = nn.Dense(10)(feats)
+      return feats, logits
+
+  model = Judge()
+  x_all = jnp.asarray(images_u8, jnp.float32) / 127.5 - 1.0
+  y_all = jnp.asarray(labels, jnp.int32)
+  params = model.init(jax.random.PRNGKey(rng_seed), x_all[:2])
+  tx = optax.adam(lr)
+  opt = tx.init(params)
+
+  @jax.jit
+  def train_step(params, opt, x, y):
+    def loss_fn(p):
+      _, logits = model.apply(p, x)
+      return optax.softmax_cross_entropy_with_integer_labels(
+          logits, y).mean()
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    updates, opt = tx.update(grads, opt)
+    return optax.apply_updates(params, updates), opt, loss
+
+  rng = np.random.default_rng(rng_seed)
+  n = len(images_u8)
+  for _ in range(steps):
+    idx = rng.integers(0, n, size=min(batch, n))
+    params, opt, _ = train_step(params, opt, x_all[idx], y_all[idx])
+
+  @jax.jit
+  def feats_fn(x_u8):
+    x = jnp.asarray(x_u8, jnp.float32) / 127.5 - 1.0
+    feats, _ = model.apply(params, x)
+    return feats
+
+  _, logits = model.apply(params, x_all)
+  acc = float((jnp.argmax(logits, -1) == y_all).mean())
+  return (lambda u8: np.asarray(feats_fn(u8), np.float32)), acc
+
+
+def fid_between(feats_a, feats_b):
+  import jax.numpy as jnp
+  from wcgan_tpu.evaluation import metrics
+  mu_a, sig_a = metrics.moments_from_activations(jnp.asarray(feats_a))
+  mu_b, sig_b = metrics.moments_from_activations(jnp.asarray(feats_b))
+  return metrics.fid_from_moments(mu_a, sig_a, mu_b, sig_b)
+
+
+def main(argv=None) -> int:
+  sys.path.insert(0, ".")
+  ap = argparse.ArgumentParser()
+  ap.add_argument("--checkpoints_dir", required=True)
+  ap.add_argument("--output_dir", default="/tmp/digits_fid_out")
+  ap.add_argument("--name", required=True)
+  ap.add_argument("--samples", type=int, default=1797,
+                  help="generated samples per checkpoint (default = the "
+                       "size of the real digits set, for a balanced FID)")
+  ap.add_argument("--block_coloring", default="ucconv")
+  ap.add_argument("--generator_ema", type=float, default=0.0)
+  ap.add_argument("--bf16", type=int, default=1,
+                  help="must match the training run")
+  ap.add_argument("--platform", default="auto")
+  args = ap.parse_args(argv)
+
+  if args.platform != "auto":
+    import jax
+    jax.config.update("jax_platforms",
+                      {"tpu": "axon"}.get(args.platform, args.platform))
+
+  import jax.numpy as jnp
+  from wcgan_tpu.cli.run import build_experiment, build_parser
+
+  run_argv = ["--dataset", "digits", "--gan_type", "PROJECTIVE",
+              "--arch", "res", "--batch_size", "64",
+              "--generator_block_coloring", args.block_coloring,
+              "--generator_last_coloring", args.block_coloring,
+              "--output_dir", args.output_dir,
+              "--checkpoints_dir", args.checkpoints_dir,
+              "--name", args.name,
+              "--generator_ema", str(args.generator_ema)]
+  if args.bf16:
+    run_argv.append("--bf16")
+  trainer = build_experiment(build_parser().parse_args(run_argv))
+
+  ckpt_root = trainer.ckpt_dir
+  epochs = sorted(int(d.split("_")[1]) for d in os.listdir(ckpt_root)
+                  if d.startswith("epoch_") and not d.endswith(".npz"))
+  if not epochs:
+    print(f"no full-state checkpoints under {ckpt_root}")
+    return 1
+
+  real_u8 = trainer.ds.images  # (1797, 16, 16, 1) uint8
+  real_y = trainer.ds.labels
+  feature_fn, judge_acc = build_feature_net(real_u8, real_y)
+  print(f"judge feature net trained: accuracy {judge_acc:.3f} on "
+        f"{len(real_u8)} real digits (features = 64-d penultimate)")
+
+  feats_real = feature_fn(real_u8)
+  # Calibration: the floor (real vs real split) and a ceiling (noise).
+  half = len(real_u8) // 2
+  floor = fid_between(feats_real[:half], feats_real[half:2 * half])
+  rng = np.random.default_rng(0)
+  noise_u8 = rng.integers(0, 256, real_u8.shape, dtype=np.uint8)
+  ceil = fid_between(feats_real, feature_fn(noise_u8))
+  print(f"calibration: real-split floor {floor:.3f} | "
+        f"uniform-noise ceiling {ceil:.3f}")
+
+  print("| epoch | feature-FID (fake vs real) |")
+  print("|---|---|")
+  traj = []
+  for ep in epochs:
+    trainer.restore_checkpoint(trainer.checkpoint_path(ep))
+    fake_u8 = trainer.generate(args.samples)
+    fid = fid_between(feature_fn(fake_u8), feats_real)
+    traj.append((ep, fid))
+    print(f"| {ep} | {fid:.3f} |", flush=True)
+
+  first, last = traj[0][1], traj[-1][1]
+  print(f"trajectory: {first:.3f} (epoch {traj[0][0]}) -> {last:.3f} "
+        f"(epoch {traj[-1][0]}); decreasing={last < first}")
+  return 0
+
+
+if __name__ == "__main__":
+  raise SystemExit(main())

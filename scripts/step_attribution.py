@@ -1,0 +1,223 @@
+#!/usr/bin/env python
+"""Op-by-op FLOPs attribution of the fused G+D outer step (VERDICT r2 #4).
+
+Device-side traces are unavailable through this box's TPU tunnel
+(docs/ROADMAP.md #7), so attribution works from the compiled program
+itself: parse the optimized HLO, compute FLOPs for every convolution and
+dot from its shapes, and bucket them by the source component recorded in
+each op's metadata (op_name carries the jax/flax scope path; source_file
+the defining module). Buckets:
+
+  conv        — G/D convolutions fwd+bwd (flax conv scopes)
+  whiten      — moments + Newton-Schulz chain + W folds (ops/whiten.py,
+                models/layers.py fold matmuls)
+  coloring    — coloring matmuls outside the fold (ops/coloring.py)
+  sn          — spectral-norm power iteration (ops/sn.py)
+  dense/embed — D head, G stem, projection embedding
+  optimizer   — Adam / optax update math
+  other       — everything else (losses, prep, reshapes)
+
+Each op also records its element type; f32 dots/convs on the v5e MXU run
+as multi-pass bf16 emulation (HIGHEST = 6 passes, HIGH = 3), so the
+table reports an *effective-time weight* flops/eff with eff = 1 (bf16),
+1/3 (f32 HIGH), 1/6 (f32 HIGHEST) — an estimate of where step time goes
+and of the achievable MFU ceiling, cross-checkable against the measured
+ablations in BASELINE.md.
+
+Run serialized with other TPU work:  python scripts/step_attribution.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+from collections import defaultdict
+
+SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
+INSTR_RE = re.compile(r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*(\w+)\[([\d,]*)\]")
+
+
+def _prod(xs):
+  out = 1
+  for x in xs:
+    out *= x
+  return out
+
+
+def _parse_shape(m):
+  dtype, dims = m.group(1), m.group(2)
+  shape = tuple(int(x) for x in dims.split(",") if x) if dims else ()
+  return dtype, shape
+
+
+def classify(meta: str, kind: str = "") -> str:
+  """Bucket an op by its metadata op_name/source_file."""
+  m = meta.lower()
+  if not m:
+    # Kernel-gradient convolutions are emitted without metadata; they
+    # are conv backward work.
+    return "conv" if kind == "conv" else "other"
+  if "whiten" in m or "newton" in m or "_ns_iterate" in m:
+    return "whiten"
+  if ("_fused_wc" in m or "norm_color" in m or "normcolor" in m
+      or "wc_stats" in m):
+    return "whiten"
+  if "coloring" in m or "color_" in m:
+    return "coloring"
+  if ("spectral" in m or "sn_ops" in m or "/sn." in m
+      or "power_iter" in m):
+    return "sn"
+  if "adam" in m or "optax" in m or "apply_updates" in m:
+    return "optimizer"
+  if "conv" in m:
+    return "conv"
+  if "dense" in m or "embed" in m:
+    return "dense/embed"
+  return "other"
+
+
+def attribute(hlo_text: str):
+  """Return {bucket: {dtype: flops}} + per-op debug rows."""
+  shapes = {}
+  for line in hlo_text.splitlines():
+    mi = INSTR_RE.match(line)
+    if mi:
+      name = mi.group(1)
+      shape = tuple(int(x) for x in mi.group(3).split(",") if x)
+      shapes[name] = (mi.group(2), shape)
+
+  buckets = defaultdict(lambda: defaultdict(float))
+  rows = []
+  for line in hlo_text.splitlines():
+    mi = INSTR_RE.match(line)
+    if not mi:
+      continue
+    out_dtype = mi.group(2)
+    out_shape = tuple(int(x) for x in mi.group(3).split(",") if x)
+    meta_m = re.search(r'metadata=\{([^}]*)\}', line)
+    meta = meta_m.group(1) if meta_m else ""
+    flops = 0.0
+    kind = ""
+
+    if " convolution(" in line or "= convolution(" in line:
+      kind = "conv"
+      ops = re.search(r"convolution\(([^)]*)\)", line)
+      if not ops:
+        continue
+      operands = [o.strip().lstrip("%") for o in ops.group(1).split(",")]
+      if len(operands) < 2:
+        continue
+      kname = operands[1]
+      if kname not in shapes:
+        continue
+      _, kshape = shapes[kname]
+      dl = re.search(r"dim_labels=(\S+?)(?:,|\s|$)", line)
+      cout = None
+      if dl:
+        parts = dl.group(1).split("->")[0].split("_")
+        if len(parts) >= 2 and "o" in parts[1]:
+          cout = kshape[parts[1].index("o")]
+      if cout is None:
+        cout = kshape[-1] if kshape else 1
+      flops = 2.0 * _prod(out_shape) * _prod(kshape) / max(cout, 1)
+    elif " dot(" in line:
+      kind = "dot"
+      ops = re.search(r"dot\(([^)]*)\)", line)
+      lc = re.search(r"lhs_contracting_dims=\{([\d,]*)\}", line)
+      if not ops or not lc:
+        continue
+      operands = [o.strip().lstrip("%") for o in ops.group(1).split(",")]
+      lname = operands[0]
+      if lname not in shapes:
+        continue
+      _, lshape = shapes[lname]
+      cdims = [int(x) for x in lc.group(1).split(",") if x]
+      k = _prod(lshape[i] for i in cdims) if cdims else 1
+      flops = 2.0 * _prod(out_shape) * k
+    else:
+      continue
+
+    bucket = classify(meta, kind)
+    buckets[bucket][out_dtype] += flops
+    rows.append((bucket, out_dtype, flops, out_shape,
+                 meta[:140]))
+  return buckets, rows
+
+
+# Effective MXU throughput weight per element type (v5e: f32 dots run as
+# bf16 multi-pass emulation; whitening-path math is HIGHEST = 6 passes by
+# default — ops/whiten.py).
+EFF = {"bf16": 1.0, "f32": 1.0 / 6.0}
+
+
+def main() -> int:
+  ap = argparse.ArgumentParser()
+  ap.add_argument("--f32", action="store_true")
+  ap.add_argument("--dump_ops", type=int, default=0,
+                  help="print the N largest individual ops")
+  ap.add_argument("--platform", default="auto")
+  ap.add_argument("--ns_iters", type=int, default=15)
+  ap.add_argument("--batch", type=int, default=64)
+  a = ap.parse_args()
+
+  import jax
+  import jax.numpy as jnp
+  if a.platform != "auto":
+    jax.config.update("jax_platforms",
+                      {"tpu": "axon"}.get(a.platform, a.platform))
+
+  sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+  from __graft_entry__ import _models
+  from wcgan_tpu.train import schedules
+  from wcgan_tpu.train.state import create_state
+  from wcgan_tpu.train.step import GANConfig, make_jit_step
+
+  batch, zdim, res, ratio = a.batch, 128, 32, 5
+  dtype = "float32" if a.f32 else "bfloat16"
+  g, d = _models(resolution=res, z_dim=zdim, dtype=dtype,
+                 ns_iters=a.ns_iters)
+  cfg = GANConfig(training_ratio=ratio, generator_batch_multiple=2,
+                  z_dim=zdim, random_flip=True)
+  g_tx, d_tx = schedules.adam(2e-4), schedules.adam(2e-4)
+  state = create_state(g, d, g_tx, d_tx, jax.random.PRNGKey(0),
+                       batch_size=batch, z_dim=zdim,
+                       image_shape=(res, res, 3))
+  step_fn = make_jit_step(g, d, g_tx, d_tx, cfg, donate=False)
+  real = jnp.zeros((ratio, batch, res, res, 3), jnp.uint8)
+  labels = jnp.zeros((ratio, batch), jnp.int32)
+
+  compiled = step_fn.lower(state, real, labels).compile()
+  cost = compiled.cost_analysis()
+  if isinstance(cost, list):
+    cost = cost[0]
+  hlo = compiled.as_text()
+  buckets, rows = attribute(hlo)
+
+  total = sum(f for dd in buckets.values() for f in dd.values())
+  wtotal = sum(f / EFF.get(dt, 1.0)
+               for dd in buckets.values() for dt, f in dd.items())
+  print(f"# outer-step attribution ({dtype}, batch {batch}, ratio "
+        f"{ratio}, ns_iters {a.ns_iters})")
+  print(f"XLA cost_analysis total: {float(cost['flops'])/1e12:.3f} "
+        f"TFLOP | parsed conv+dot total: {total/1e12:.3f} TFLOP")
+  print("| bucket | dtype | GFLOP | % of parsed | eff-weighted % |")
+  print("|---|---|---|---|---|")
+  for bucket in sorted(buckets,
+                       key=lambda b: -sum(buckets[b].values())):
+    for dt, f in sorted(buckets[bucket].items(), key=lambda kv: -kv[1]):
+      w = f / EFF.get(dt, 1.0)
+      print(f"| {bucket} | {dt} | {f/1e9:,.1f} | {100*f/total:.1f}% "
+            f"| {100*w/wtotal:.1f}% |")
+  if a.dump_ops:
+    for r in sorted(rows, key=lambda r: -r[2])[:a.dump_ops]:
+      print(json.dumps(dict(bucket=r[0], dtype=r[1],
+                            gflop=round(r[2] / 1e9, 2),
+                            out_shape=r[3], meta=r[4])))
+  return 0
+
+
+if __name__ == "__main__":
+  raise SystemExit(main())

@@ -164,13 +164,13 @@ def test_generate_uses_one_static_shape(tmp_path):
                  "--number_of_epochs", "1", "--name", "gen"]
   trainer = build_experiment(build_parser().parse_args(argv))
   shapes = []
-  orig = trainer._sample
+  orig = trainer._sample_u8
 
   def spy(state, z, labels):
     shapes.append(tuple(z.shape))
     return orig(state, z, labels)
 
-  trainer._sample = spy
+  trainer._sample_u8 = spy
   imgs = trainer.generate(10, batch=4)
   assert imgs.shape[0] == 10
   assert set(shapes) == {(4, trainer.gan_cfg.z_dim)}

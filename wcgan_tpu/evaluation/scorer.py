@@ -14,6 +14,7 @@ for a real one (SURVEY.md §7 hard-part #5: never silently substitute).
 
 from __future__ import annotations
 
+import time
 from typing import Callable, Dict, Optional
 
 import jax
@@ -23,24 +24,30 @@ import numpy as np
 from wcgan_tpu.evaluation import inception_v3, metrics
 
 
-def _activations(apply_fn, images_u8: np.ndarray, batch: int):
+def _activations(apply_fn, images_u8: np.ndarray, batch: int,
+                 want_pool: bool = True, want_probs: bool = True):
+  """Run the feature net in minibatches; fetch ONLY the requested
+  outputs. IS needs the class probabilities and FID needs the pool
+  features — fetching both for every batch doubled host<->device
+  transfer in 50k-sample runs (pool 2048-d + probs 1008-d per image,
+  f32, through the single-tenant tunnel); the unfetched device buffer
+  is simply dropped."""
   pools, probs = [], []
   n = images_u8.shape[0]
   for i in range(0, n, batch):
     chunk = images_u8[i:i + batch]
-    if chunk.shape[0] < batch:  # pad to static shape, mask after
-      real_n = chunk.shape[0]
-      pad = batch - real_n
+    real_n = chunk.shape[0]
+    if real_n < batch:  # pad to static shape, mask after
       chunk = np.concatenate(
-          [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
-      pool, prob = apply_fn(jnp.asarray(chunk))
+          [chunk, np.zeros((batch - real_n,) + chunk.shape[1:],
+                           chunk.dtype)])
+    pool, prob = apply_fn(jnp.asarray(chunk))
+    if want_pool:
       pools.append(np.asarray(pool)[:real_n])
+    if want_probs:
       probs.append(np.asarray(prob)[:real_n])
-    else:
-      pool, prob = apply_fn(jnp.asarray(chunk))
-      pools.append(np.asarray(pool))
-      probs.append(np.asarray(prob))
-  return np.concatenate(pools), np.concatenate(probs)
+  return (np.concatenate(pools) if want_pool else None,
+          np.concatenate(probs) if want_probs else None)
 
 
 def make_scorer(dataset, compute_is: bool = True, compute_fid: bool = True,
@@ -84,25 +91,41 @@ def make_scorer(dataset, compute_is: bool = True, compute_fid: bool = True,
   def scorer(trainer) -> Dict[str, float]:
     apply_fn, verified = get_net()
     out: Dict[str, float] = {}
+    # Phase wall-clocks go to the run log (observability for the
+    # contract-scale runs: 50k IS samples = ~600 device dispatches
+    # through the tunnel; BASELINE.md "full-scale scoring" row).
+    log = getattr(getattr(trainer, "logger", None), "line",
+                  lambda s: None)
 
     if compute_is:
+      t0 = time.perf_counter()
       imgs = trainer.generate(samples_inception)
-      _, probs = _activations(apply_fn, imgs, batch)
+      t1 = time.perf_counter()
+      _, probs = _activations(apply_fn, imgs, batch, want_pool=False)
       mean, std = metrics.inception_score(jnp.asarray(probs))
       out["inception_score"] = float(mean)
       out["is_std"] = float(std)
+      log(f"scorer: IS over {samples_inception} samples — generate "
+          f"{t1 - t0:.1f}s, inception+score "
+          f"{time.perf_counter() - t1:.1f}s")
 
     if compute_fid:
+      t0 = time.perf_counter()
       if "real_moments" not in cache:
         real = dataset.real_sample(samples_fid)
-        pool_r, _ = _activations(apply_fn, real, batch)
+        pool_r, _ = _activations(apply_fn, real, batch,
+                                 want_probs=False)
         cache["real_moments"] = metrics.moments_from_activations(
             jnp.asarray(pool_r))
+      t1 = time.perf_counter()
       fake = trainer.generate(samples_fid)
-      pool_f, _ = _activations(apply_fn, fake, batch)
+      pool_f, _ = _activations(apply_fn, fake, batch, want_probs=False)
       mu_f, sig_f = metrics.moments_from_activations(jnp.asarray(pool_f))
       mu_r, sig_r = cache["real_moments"]
       out["fid"] = metrics.fid_from_moments(mu_r, sig_r, mu_f, sig_f)
+      log(f"scorer: FID over {samples_fid} samples — real moments "
+          f"{t1 - t0:.1f}s (cached after first call), fake+distance "
+          f"{time.perf_counter() - t1:.1f}s")
 
     if not verified:
       out = {f"unverified_{k}": v for k, v in out.items()}

@@ -64,6 +64,11 @@ class GANConfig:
   sn_update_on_g_step: bool = False
   random_flip: bool = False           # on-device horizontal flip (the
                                       # reference flips on host [U])
+  unroll_d_scan: bool = False         # unroll the K D-updates instead of
+                                      # lax.scan-ing them (bigger program,
+                                      # more cross-step scheduling freedom
+                                      # for XLA; measured neutral on v5e —
+                                      # see BASELINE.md attribution note)
   g_ema_decay: float = 0.0            # EMA of G params for sampling
                                       # (0 = off; not in the reference —
                                       # additive capability)
@@ -259,7 +264,8 @@ def make_outer_step(
 
     state, (d_losses, d_gnorms) = lax.scan(
         d_scan_body, state,
-        (real, labels, jnp.arange(ratio, dtype=jnp.int32)))
+        (real, labels, jnp.arange(ratio, dtype=jnp.int32)),
+        unroll=(max(ratio, 1) if cfg.unroll_d_scan else 1))
 
     state, (g_loss, g_gnorm) = g_update(
         state, jax.random.fold_in(use_rng, ratio),

@@ -149,6 +149,19 @@ class Trainer:
 
     self._sample = jax.jit(sample)
 
+    def sample_u8(state: GANTrainState, z, labels):
+      # uint8 conversion ON DEVICE: the scorer's 50k-sample runs fetch
+      # every generated image over the TPU tunnel, and fetching f32 then
+      # converting on host cost 4x the transfer bytes (measured in the
+      # r3 contract-scale scoring run — generation was fetch-bound, not
+      # compute-bound). Mirrors the uint8-until-device upload principle
+      # (train/step.py::prepare_real).
+      imgs = sample(state, z, labels)
+      return (jnp.clip(imgs.astype(jnp.float32), -1, 1) * 127.5
+              + 127.5).astype(jnp.uint8)
+
+    self._sample_u8 = jax.jit(sample_u8)
+
   def _epoch_batches(self) -> int:
     """Outer steps per epoch: explicit config, else dataset size / the
     D-updates the outer step consumes (reference counts D batches [U])."""
@@ -328,10 +341,10 @@ class Trainer:
                               ).astype(np.int32)
       else:
         labels = np.zeros((batch,), np.int32)
-      imgs = self._sample(self.state, jnp.asarray(z), jnp.asarray(labels))
+      imgs = self._sample_u8(self.state, jnp.asarray(z),
+                             jnp.asarray(labels))
       out.append(np.asarray(imgs)[:b])
-    x = np.concatenate(out)
-    return (np.clip(x, -1, 1) * 127.5 + 127.5).astype(np.uint8)
+    return np.concatenate(out)
 
   # -- main loop --------------------------------------------------------------
 
