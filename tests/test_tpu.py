@@ -173,7 +173,7 @@ def test_whitening_precision_high_converges_on_chip(tpu_ok, rng):
     whiten.set_precision("high")
     w = np.asarray(whiten.newton_schulz_inv_sqrt(cov), np.float64)
   finally:
-    whiten.set_precision("highest")
+    whiten.set_precision("high")  # restore the product default
   resid = np.max(np.abs(w @ cov64 @ w.T - np.eye(c)))
   assert resid < 5e-3, resid
   w0 = np.asarray(whiten.newton_schulz_inv_sqrt(cov), np.float64)

@@ -155,7 +155,7 @@ def test_set_precision_switch(rng):
     with pytest.raises(ValueError):
       whiten.set_precision("bf16")
   finally:
-    whiten.set_precision("highest")
+    whiten.set_precision("high")  # restore the product default
 
 
 def test_whiten_apply_bf16_single_pass(rng):

@@ -11,10 +11,11 @@ Design notes (TPU-first, see SURVEY.md §7 hard-part #1):
   lower poorly on TPU (sequential); the idiomatic choice is the coupled
   **Newton–Schulz** iteration — pure matmuls that run on the MXU. A
   Cholesky-based path is kept as the correctness oracle / fallback.
-- All moment and iteration matmuls run in float32 with HIGHEST precision:
-  measured on TPU v5 lite, Newton–Schulz plateaus at ~2e-2 error under
-  default bf16 MXU passes but converges to ~1e-6 in <=15 iterations with
-  float32 dots.
+- All moment and iteration matmuls run in float32 with multi-pass MXU
+  emulation (HIGH by default, HIGHEST for reference parity — see the
+  _PRECISION note below): measured on TPU v5 lite, Newton–Schulz plateaus
+  at ~2e-2 error under default bf16 MXU passes but converges to ~1e-6 in
+  <=15 iterations with float32 dots.
 - Cross-replica semantics: moments (count, sum, sum of outer products) are
   reduced with ``lax.pmean`` over a named mesh axis *before* the inverse
   square root, so whitening statistics match global-batch semantics under
@@ -30,24 +31,30 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-# float32 + HIGHEST everywhere in the whitening math by default. bf16 MXU
-# passes (DEFAULT) do not converge for Newton--Schulz (measured; see module
-# docstring). HIGH (3-pass bf16 emulation instead of 6) is a measured
-# 3.9% end-to-end outer-step win at a 20x higher whitening-residual floor
-# (max|W cov W^T - I| 6.1e-4 vs 2.8e-5 over the 7 trained covariances of
-# the 50k-step soak checkpoint, cond up to 3.8e3 — still far below bf16
-# activation noise). Select with set_precision("high") / the CLI's
-# --whitening_precision; jit caches are keyed per traced program, so set
-# it once at startup (it is read at trace time).
-_HIGHEST = lax.Precision.HIGHEST
+# float32 whitening math with multi-pass MXU emulation. Raw bf16 passes
+# (DEFAULT) do not converge for Newton--Schulz (measured; see module
+# docstring). The shipped default is HIGH (3-pass emulation): a measured
+# +3.9% outer step over HIGHEST (6-pass) at a 20x higher — still tiny —
+# whitening-residual floor (max|W cov W^T - I| 6.1e-4 vs 2.8e-5), and
+# PROMOTED to default after a clean 10k-outer-step soak at the config-2
+# shape (r3: live residual plateaued at 1.1e-4, covariance conditioning
+# healthy at ~2.6e3 — docs/SOAK.md addendum). HIGHEST remains the
+# reference-parity knob (--whitening_precision highest). CAUTION from the
+# same soak campaign: iteration count is the sharp axis, not precision —
+# ns_iters=12 under-converges once cond exceeds ~1e3 and feeds back into
+# a conditioning explosion (cond 80 -> 32k); the trainer's live
+# wc_whiten_residual_max probe guards this. set_precision() is read at
+# trace time; set once at startup.
+_PRECISION = lax.Precision.HIGH
 
 
 def set_precision(name: str) -> None:
-  """Set the precision of all whitening-path matmuls: 'highest' (default)
-  or 'high'. On CPU both are exact f32 (passes are an MXU concept)."""
-  global _HIGHEST
+  """Set the precision of all whitening-path matmuls: 'high' (default,
+  3-pass bf16 MXU emulation) or 'highest' (6-pass, reference parity).
+  On CPU both are exact f32 (passes are an MXU concept)."""
+  global _PRECISION
   try:
-    _HIGHEST = {"highest": lax.Precision.HIGHEST,
+    _PRECISION = {"highest": lax.Precision.HIGHEST,
                 "high": lax.Precision.HIGH}[name]
   except KeyError:
     raise ValueError(f"whitening precision must be 'highest' or 'high', "
@@ -109,7 +116,7 @@ def batch_moments(
   # covariances exactly averageable: with equal shard sizes,
   # pmean_r[(x_r-mu)^T (x_r-mu)/R_r] is the global-batch covariance.
   xc = x2d - mean
-  cov = jnp.matmul(xc.T, xc, precision=_HIGHEST) / x2d.shape[0]
+  cov = jnp.matmul(xc.T, xc, precision=_PRECISION) / x2d.shape[0]
   if axis_name is not None:
     cov = lax.pmean(cov, axis_name)
   return mean, cov
@@ -149,9 +156,9 @@ def _ns_iterate(a, ident, num_iters):
 
   def body(yz, _):
     y, z = yz
-    t = 1.5 * ident - 0.5 * jnp.matmul(z, y, precision=_HIGHEST)
-    y = jnp.matmul(y, t, precision=_HIGHEST)
-    z = jnp.matmul(t, z, precision=_HIGHEST)
+    t = 1.5 * ident - 0.5 * jnp.matmul(z, y, precision=_PRECISION)
+    y = jnp.matmul(y, t, precision=_PRECISION)
+    z = jnp.matmul(t, z, precision=_PRECISION)
     return (y, z), None
 
   # Full unroll: the iterations are tiny sequential C x C matmuls; a
@@ -237,10 +244,10 @@ def whiten_apply(x2d: jax.Array, mean: jax.Array, w: jax.Array) -> jax.Array:
   the folded (ΓW) paths in models/layers.py. f32 activations keep the
   full-precision pass (reference-parity mode)."""
   if x2d.dtype == jnp.bfloat16:
-    bias = -jnp.matmul(mean, w.T, precision=_HIGHEST)
+    bias = -jnp.matmul(mean, w.T, precision=_PRECISION)
     return (jnp.matmul(x2d, w.T.astype(jnp.bfloat16))
             + bias.astype(jnp.bfloat16))
-  out = jnp.matmul(_f32(x2d) - mean, w.T, precision=_HIGHEST)
+  out = jnp.matmul(_f32(x2d) - mean, w.T, precision=_PRECISION)
   return out.astype(x2d.dtype)
 
 

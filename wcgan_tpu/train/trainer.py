@@ -392,6 +392,19 @@ class Trainer:
       diag = self.diagnostics()
       self.logger.jsonl(dict(epoch=epoch, **means, **diag,
                              imgs_per_sec=imgs_per_sec, seconds=dt))
+      # Whitening-health guard (r3 soak finding): an under-converged
+      # inverse sqrt FEEDS BACK — residual whitening error lets the
+      # covariance conditioning grow, which degrades convergence further
+      # (measured: ns_iters=12 at config-2 shape walked cond 80 -> 32k
+      # and residual 3e-5 -> 0.3 in 10k steps while losses still looked
+      # healthy). Warn loudly; losses alone will not show it.
+      resid = diag.get("wc_whiten_residual_max", 0.0)
+      if resid > 1e-2:
+        self.logger.line(
+            f"Epoch {epoch}: WARNING whitening under-converged "
+            f"(wc_whiten_residual_max = {resid:.2e}, cov cond max = "
+            f"{diag.get('wc_cov_cond_max', float('nan')):.3g}); increase "
+            "--ns_iters or use --whitening_precision highest")
       # Failure detection (SURVEY.md §5): a NaN/Inf loss means the run is
       # dead — fail loudly with state preserved rather than burn epochs.
       if not all(np.isfinite(v) for v in means.values()):
