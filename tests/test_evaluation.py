@@ -108,6 +108,23 @@ def test_scorer_tail_padding_is_static_shape():
   assert set(shapes) == {(8, 2, 2, 3)}  # one static shape, no recompiles
 
 
+def test_scorer_selective_fetch():
+  """r3 eval-path fix: IS fetches only probs and FID only pool — the
+  unwanted output must not be materialized on host (halves tunnel
+  transfer in 50k-sample runs)."""
+  from wcgan_tpu.evaluation.scorer import _activations
+
+  def fake_apply(x):
+    return jnp.zeros((x.shape[0], 4)), jnp.full((x.shape[0], 3), 1 / 3)
+
+  imgs = np.zeros((6, 2, 2, 3), np.uint8)
+  pools, probs = _activations(fake_apply, imgs, batch=3, want_pool=False)
+  assert pools is None and probs.shape == (6, 3)
+  pools, probs = _activations(fake_apply, imgs, batch=3,
+                              want_probs=False)
+  assert probs is None and pools.shape == (6, 4)
+
+
 def test_moments_match_numpy_cov():
   rng = np.random.default_rng(3)
   a = rng.standard_normal((128, 16)).astype(np.float32)
