@@ -34,6 +34,46 @@ CPU_TO_V100_PEAK_FLOPS = 117.0       # documented scaling factor
 BASELINE_IMGS_PER_SEC = TF_PROXY_CPU_IMGS_PER_SEC * CPU_TO_V100_PEAK_FLOPS
 
 
+def _run_with_retries(attempts: int = 3, timeout_s: int = 900) -> int:
+  """Run the measurement in a watchdogged subprocess, retrying on wedge.
+
+  The single-tenant TPU tunnel on this box intermittently wedges a NEW
+  process at backend setup (main thread futex-parks at ~0 CPU after
+  ~15 s; measured r3, BASELINE.md window-rotation caveat), especially
+  right after a previous TPU process was killed. A wedged attempt
+  produces no output within ``timeout_s``; it is killed and retried
+  after a quiet period. This protects the one-JSON-line driver contract
+  from an environment fault — it never retries on a *successful*
+  (fast or slow) measurement.
+  """
+  import os
+  import subprocess
+  import time as _time
+  env = dict(os.environ, WCGAN_BENCH_INNER="1")
+  last_err = ""
+  for attempt in range(attempts):
+    try:
+      proc = subprocess.run(
+          [sys.executable, "-u", os.path.abspath(__file__)] + sys.argv[1:],
+          env=env, capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+      last_err = f"attempt {attempt + 1}: wedged (no output in {timeout_s}s)"
+      print(last_err, file=sys.stderr, flush=True)
+      _time.sleep(180)  # let the tunnel relay recover before retrying
+      continue
+    for line in reversed(proc.stdout.splitlines()):
+      if line.startswith("{"):
+        print(line)
+        return 0
+    last_err = (f"attempt {attempt + 1}: rc={proc.returncode}, no JSON; "
+                f"stderr tail: {proc.stderr[-500:]}")
+    print(last_err, file=sys.stderr, flush=True)
+    _time.sleep(60)
+  print(f"bench failed after {attempts} attempts: {last_err}",
+        file=sys.stderr)
+  return 1
+
+
 def main() -> int:
   import jax
   import jax.numpy as jnp
@@ -87,4 +127,7 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-  raise SystemExit(main())
+  import os
+  if os.environ.get("WCGAN_BENCH_INNER"):
+    raise SystemExit(main())
+  raise SystemExit(_run_with_retries())
