@@ -97,23 +97,27 @@ def bench_sampling(dtype: str, batch=256, zdim=128, res=32, ns_iters=15,
 
 
 def bench_shape(name: str, res: int, ncls: int, coloring: str,
-                batch=64, zdim=128, ratio=5, steps=20):
-  """Fused-step throughput at the non-CIFAR BASELINE config shapes
+                batch=64, zdim=128, ratio=5, steps=20, arch="res",
+                loss="hinge"):
+  """Fused-step throughput at the BASELINE config shapes
   (paper §5 widths via the models' preset_filters)."""
   from wcgan_tpu.models.discriminator import preset_filters as d_presets
   from wcgan_tpu.models.generator import preset_filters as g_presets
-  gf = g_presets("res", res)
-  df, down = d_presets("res", res)
+  gf = g_presets(arch, res)
+  df, down = d_presets(arch, res)
   gcfg = GeneratorConfig(
-      z_dim=zdim, resolution=res, base_resolution=res // (2 ** len(gf)),
+      arch=arch, z_dim=zdim, resolution=res,
+      base_resolution=res // (2 ** len(gf)),
       filters=gf, num_classes=ncls, block_norm="d", last_norm="d",
       block_coloring=coloring, last_coloring=coloring, ns_iters=15,
       dtype="bfloat16")
   dcfg = DiscriminatorConfig(
-      resolution=res, filters=df, downsample=down, num_classes=ncls,
-      projection=ncls > 0, ns_iters=15, dtype="bfloat16")
+      arch=arch, resolution=res, filters=df, downsample=down,
+      num_classes=ncls, projection=ncls > 0, ns_iters=15,
+      dtype="bfloat16")
   g, d = Generator(cfg=gcfg), Discriminator(cfg=dcfg)
-  cfg = GANConfig(training_ratio=ratio, generator_batch_multiple=2,
+  cfg = GANConfig(loss=loss, training_ratio=ratio,
+                  generator_batch_multiple=2,
                   z_dim=zdim, random_flip=True, num_classes=ncls)
   g_tx, d_tx = schedules.adam(2e-4), schedules.adam(2e-4)
   state = create_state(g, d, g_tx, d_tx, jax.random.PRNGKey(0),
@@ -152,10 +156,22 @@ def main():
             flush=True)
     return
   if "--shapes" in sys.argv:
-    for name, res, ncls, coloring in (
-        ("stl10_uncond_48", 48, 0, "uconv"),
-        ("tiny_imagenet_cwcsa_64", 64, 200, "ucconv-sa")):
-      v = bench_shape(name, res, ncls, coloring)
+    # One row per BASELINE config's per-chip shape: 1 = DCGAN ns 1:1,
+    # 2 = cond cWC + projection (see the conditional-fold ablation for
+    # its history), 3 = STL 48px, 4 = Tiny-ImageNet 64px/200c,
+    # 5 = ImageNet-64 per-chip shape (64px, 1000 classes, cWC-sa).
+    for name, kw in (
+        ("cifar10_wc_dcgan_cfg1",
+         dict(res=32, ncls=0, coloring="uconv", arch="dcgan", ratio=1,
+              loss="ns")),
+        ("cifar10_cwc_proj_cfg2",
+         dict(res=32, ncls=10, coloring="ucconv")),
+        ("stl10_uncond_48_cfg3", dict(res=48, ncls=0, coloring="uconv")),
+        ("tiny_imagenet_cwcsa_64_cfg4",
+         dict(res=64, ncls=200, coloring="ucconv-sa")),
+        ("imagenet64_cwcsa_perchip_cfg5",
+         dict(res=64, ncls=1000, coloring="ucconv-sa"))):
+      v = bench_shape(name, **kw)
       print(json.dumps({"config": name, "imgs_per_sec": round(v, 1)}),
             flush=True)
     return
