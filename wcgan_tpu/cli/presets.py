@@ -63,6 +63,20 @@ PRESETS: Dict[str, List[str]] = {
         "--filters_emb", "10", "--lr_decay_schedule", "linear",
         "--number_of_epochs", "100",
     ],
+    # (extra) — the paper's conditional CIFAR-100 row (cWC-sa +
+    # projection-D; BASELINE.md IS ≈ 9.27 ◐). Not one of the 5 driver
+    # configs, but the reference README reproduces it and the loader
+    # ships here, so the preset does too.
+    "cifar100_cwcsa": [
+        "--dataset", "cifar100", "--arch", "res", "--loss", "hinge",
+        "--gan_type", "PROJECTIVE", "--conditional",
+        "--training_ratio", "5", "--generator_block_norm", "d",
+        "--generator_block_coloring", "ucconv-sa",
+        "--generator_last_norm", "d",
+        "--generator_last_coloring", "ucconv-sa",
+        "--filters_emb", "10", "--lr_decay_schedule", "linear",
+        "--number_of_epochs", "100",
+    ],
     # 5 — "Large-batch conditional cWC ImageNet 64x64, data-parallel over
     #     pod slice with cross-replica whitening stats". --mesh N shards
     #     the global batch over N chips; whitening moments all-reduce.

@@ -174,6 +174,11 @@ def build_parser() -> argparse.ArgumentParser:
                       "datasets train on a double-buffered rotating "
                       "random window of this size per epoch (next window "
                       "staged during the epoch — budget 2x for it)")
+  p.add_argument("--compilation_cache_dir", default=".jax_cache",
+                 help="persistent XLA compile cache (r3: previously only "
+                      "the test suite enabled it — every CLI process "
+                      "recompiled from scratch, e.g. ~200 s for the "
+                      "2048x2048 FID eigh program alone). '' disables")
   return p
 
 
@@ -348,6 +353,12 @@ def main(argv=None) -> int:
       jax.config.update("jax_platforms", platform)
     except Exception:
       pass
+  if args.compilation_cache_dir:
+    try:
+      jax.config.update("jax_compilation_cache_dir",
+                        os.path.abspath(args.compilation_cache_dir))
+    except Exception:
+      pass  # cache is best-effort; unsupported backends degrade cleanly
   if args.debug_nans:
     jax.config.update("jax_debug_nans", True)
   trainer = build_experiment(args)
