@@ -59,7 +59,17 @@ def main() -> int:
   labels = jnp.zeros((ratio, batch), jnp.int32)
 
   # make_jit_step returns a jax.jit-wrapped callable => .lower() exists.
-  cost = step_fn.lower(state, real, labels).compile().cost_analysis()
+  # FLOPs are counted on the UNROLLED-D-scan variant of the same math:
+  # XLA's cost_analysis counts a while/scan body ONCE (the trip count is
+  # opaque to it), so the production lax.scan program under-reports the
+  # 5 D updates 5x — measured r3: scan 1.990 TFLOP at BOTH ratio=1 and
+  # ratio=5, unrolled ratio=5 3.764 TFLOP. The r1/r2 MFU rows (28.9%)
+  # carried this undercount; true MFU is ~2x higher.
+  import dataclasses
+  count_fn = make_jit_step(g, d, g_tx, d_tx,
+                           dataclasses.replace(cfg, unroll_d_scan=True),
+                           donate=False)
+  cost = count_fn.lower(state, real, labels).compile().cost_analysis()
   if isinstance(cost, list):  # older jax returns one dict per device
     cost = cost[0]
   flops = float(cost["flops"])

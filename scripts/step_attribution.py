@@ -148,9 +148,9 @@ def attribute(hlo_text: str):
 
 
 # Effective MXU throughput weight per element type (v5e: f32 dots run as
-# bf16 multi-pass emulation; whitening-path math is HIGHEST = 6 passes by
-# default — ops/whiten.py).
-EFF = {"bf16": 1.0, "f32": 1.0 / 6.0}
+# bf16 multi-pass emulation; whitening-path math is HIGH = 3 passes since
+# the r3 default promotion — ops/whiten.py).
+EFF = {"bf16": 1.0, "f32": 1.0 / 3.0}
 
 
 def main() -> int:
@@ -179,8 +179,13 @@ def main() -> int:
   dtype = "float32" if a.f32 else "bfloat16"
   g, d = _models(resolution=res, z_dim=zdim, dtype=dtype,
                  ns_iters=a.ns_iters)
+  # unroll_d_scan: the production step runs the 5 D updates as a
+  # lax.scan, whose body appears ONCE in the HLO text (and once in XLA's
+  # own cost_analysis — measured r3: 1.990 TFLOP at both ratio=1 and
+  # ratio=5). Attribution must see all 5 bodies, so it parses the
+  # unrolled variant of the same math.
   cfg = GANConfig(training_ratio=ratio, generator_batch_multiple=2,
-                  z_dim=zdim, random_flip=True)
+                  z_dim=zdim, random_flip=True, unroll_d_scan=True)
   g_tx, d_tx = schedules.adam(2e-4), schedules.adam(2e-4)
   state = create_state(g, d, g_tx, d_tx, jax.random.PRNGKey(0),
                        batch_size=batch, z_dim=zdim,

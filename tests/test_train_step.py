@@ -24,10 +24,10 @@ ZDIM = 8
 
 
 def build(num_classes=0, projection=False, ac_gan=False, loss="hinge",
-          gp=0.0, axis_name=None, d_norm="n"):
+          gp=0.0, axis_name=None, d_norm="n", g_norm="d"):
   gcfg = GeneratorConfig(
       z_dim=ZDIM, resolution=RES, base_resolution=4, filters=(8,),
-      block_norm="d", block_coloring="uconv", last_norm="d",
+      block_norm=g_norm, block_coloring="uconv", last_norm=g_norm,
       last_coloring="uconv", num_classes=num_classes, ns_iters=6,
       axis_name=axis_name)
   dcfg = DiscriminatorConfig(
@@ -178,6 +178,50 @@ def test_generator_ema_tracks_params():
   # EMA moved toward the updated params but is not equal to them.
   assert _leaf_changed(state.g_ema, new_state.g_ema)
   assert _leaf_changed(new_state.g_ema, new_state.g_params)
+
+
+def test_batched_fake_gen_exact_for_stat_free_g():
+  """--batched_fake_gen reuses the per-k rng streams, so with a stat-free
+  G (no batch-whitening: per-sample math only) the outer step must
+  produce the SAME updates as the per-D-step fake generation path."""
+  import dataclasses as dc
+  g, d, g_tx, d_tx, cfg = build(g_norm="n")
+  real, labels = fake_batch(cfg)
+
+  def run(flag):
+    c = dc.replace(cfg, batched_fake_gen=flag)
+    state = init_state(g, d, g_tx, d_tx, c)
+    step_fn = make_jit_step(g, d, g_tx, d_tx, c, donate=False)
+    new_state, metrics = step_fn(state, real, labels)
+    return new_state, metrics
+
+  s_a, m_a = run(False)
+  s_b, m_b = run(True)
+  for k in m_a:
+    np.testing.assert_allclose(float(m_a[k]), float(m_b[k]), atol=1e-5,
+                               err_msg=k)
+  for la, lb in zip(jax.tree_util.tree_leaves(s_a.d_params),
+                    jax.tree_util.tree_leaves(s_b.d_params)):
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-5)
+
+
+@pytest.mark.parametrize("kind", ["wc", "projection"])
+def test_batched_fake_gen_variants_run(kind):
+  """The WC (batch-stat) and conditional projection paths under
+  --batched_fake_gen: moments over ratio*B rows, labels threaded through
+  the scan — must train with finite metrics."""
+  import dataclasses as dc
+  kwargs = dict(num_classes=4, projection=True) if kind == "projection" \
+      else {}
+  g, d, g_tx, d_tx, cfg = build(**kwargs)
+  cfg = dc.replace(cfg, batched_fake_gen=True)
+  state = init_state(g, d, g_tx, d_tx, cfg)
+  step_fn = make_jit_step(g, d, g_tx, d_tx, cfg, donate=False)
+  real, labels = fake_batch(cfg)
+  new_state, metrics = step_fn(state, real, labels)
+  assert all(np.isfinite(float(m)) for m in metrics.values())
+  assert _leaf_changed(state.g_params, new_state.g_params)
+  assert _leaf_changed(state.d_params, new_state.d_params)
 
 
 def test_sharded_generator_forward_matches_single_device():

@@ -162,6 +162,12 @@ def build_parser() -> argparse.ArgumentParser:
                       "the same resolution, shrink widths/epochs, keep "
                       "the arch/loss/coloring/mesh semantics — every "
                       "preset runs end-to-end in seconds")
+  p.add_argument("--batched_fake_gen", type=int, default=0,
+                 help="1 = generate all training_ratio fake batches in "
+                      "ONE G forward per outer step (amortizes the "
+                      "batch-size-independent Newton-Schulz/fold chain "
+                      "5x; whitening moments then see ratio*B rows — "
+                      "better statistics, small parity divergence)")
   p.add_argument("--device_data", type=int, default=1,
                  help="1 = upload the dataset to device memory once and "
                       "sample minibatches on-device (3x faster through "
@@ -270,6 +276,7 @@ def build_experiment(args) -> Trainer:
                                if args.loss == "wgan-gp" else 0.0),
       num_classes=num_classes, z_dim=args.z_dim, axis_name=axis_name,
       sn_update_on_g_step=args.sn_update_on_g_step,
+      batched_fake_gen=bool(args.batched_fake_gen),
       g_ema_decay=args.generator_ema,
       random_flip=(bool(args.random_flip) if args.random_flip is not None
                    else args.dataset not in ("mnist", "fashion-mnist",

@@ -162,12 +162,17 @@ def _moments_fwd(x2d, block_rows, interpret):
 
 def _moments_bwd(block_rows, interpret, res, cot):
   del block_rows, interpret
+  from wcgan_tpu.ops import whiten as whiten_ops
   x2d, mean = res
   dmu, dsig = cot
   rows = x2d.shape[0]
   s = dsig + dsig.T
+  # The R-row backward matmul follows the module-wide whitening precision
+  # (--whitening_precision; HIGH default) like every other whitening-path
+  # matmul — it was the one spot still pinned to HIGHEST (6-pass), and it
+  # runs once per WC layer in the G backward (hot).
   dx = (jnp.matmul((x2d.astype(jnp.float32) - mean), s,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=whiten_ops._PRECISION)
         + dmu) / rows
   return (dx.astype(x2d.dtype),)
 

@@ -69,6 +69,26 @@ class GANConfig:
                                       # more cross-step scheduling freedom
                                       # for XLA; measured neutral on v5e —
                                       # see BASELINE.md attribution note)
+  batched_fake_gen: bool = False      # generate ALL training_ratio fake
+                                      # batches in ONE G forward before the
+                                      # D scan instead of one B-sized
+                                      # forward per D update. G's params
+                                      # and stats are frozen across the
+                                      # scan, so the only semantic delta
+                                      # is the whitening moment batch
+                                      # (ratio*B rows instead of B —
+                                      # *better* statistics); bit-exact
+                                      # for a stat-free G (tested).
+                                      # Measured NEUTRAL on v5e at the
+                                      # headline shape (33.9 vs 33.8 ms
+                                      # interleaved A/B) — the b64 G
+                                      # forward is already throughput-
+                                      # bound, so 1x b320 costs the same
+                                      # as 5x b64 and the per-forward NS
+                                      # chain is too small to matter
+                                      # (BASELINE.md r3 breakdown). Kept
+                                      # as an option for its moment-
+                                      # statistics benefit, default off.
   g_ema_decay: float = 0.0            # EMA of G params for sampling
                                       # (0 = off; not in the reference —
                                       # additive capability)
@@ -150,14 +170,22 @@ def make_outer_step(
     return d_module.apply(variables, x, y, train=True,
                           update_sn=update_sn), {}
 
-  def d_update(state: GANTrainState, x, y, rng):
-    b = x.shape[0]
+  def draw_fake_inputs(rng, b):
+    """Per-D-update z/label draw — shared by the per-step and batched fake
+    paths so their random streams are identical."""
     rng_z, rng_y, rng_gp = jax.random.split(rng, 3)
     z = jax.random.normal(rng_z, (b, cfg.z_dim), jnp.float32)
     zy = (jax.random.randint(rng_y, (b,), 0, cfg.num_classes, jnp.int32)
           if cfg.conditional else None)
-    fake, _ = g_apply(state.g_params, state.g_state, z, zy,
-                      want_mutable=bool(state.g_state))
+    return z, zy, rng_gp
+
+  def d_update(state: GANTrainState, x, y, rng, fake=None, zy=None):
+    b = x.shape[0]
+    z, zy_drawn, rng_gp = draw_fake_inputs(rng, b)
+    if fake is None:
+      zy = zy_drawn
+      fake, _ = g_apply(state.g_params, state.g_state, z, zy,
+                        want_mutable=bool(state.g_state))
     fake = lax.stop_gradient(fake)
     y_in = y if d_takes_labels else None
     zy_in = zy if d_takes_labels else None
@@ -257,14 +285,45 @@ def make_outer_step(
     real = prepare_real(real, jax.random.fold_in(use_rng, ratio + 1),
                         cfg.random_flip)
 
-    def d_scan_body(carry, xs):
-      x, y, k = xs
-      carry, loss = d_update(carry, x, y, jax.random.fold_in(use_rng, k))
-      return carry, loss
+    if cfg.batched_fake_gen:
+      # One G forward for ALL ratio fake batches. Reuses the per-k rng
+      # streams of the unbatched path, so a stat-free G produces the
+      # identical fake tensors (regression-tested); a WC G sees its
+      # whitening moments over ratio*B rows instead of B.
+      zs, zys = [], []
+      for k in range(ratio):
+        z_k, zy_k, _ = draw_fake_inputs(jax.random.fold_in(use_rng, k), b)
+        zs.append(z_k)
+        zys.append(zy_k)
+      z_all = jnp.concatenate(zs, axis=0)
+      zy_all = jnp.concatenate(zys, axis=0) if cfg.conditional else None
+      fake_all, _ = g_apply(state.g_params, state.g_state, z_all, zy_all,
+                            want_mutable=bool(state.g_state))
+      fakes = lax.stop_gradient(fake_all).reshape(
+          (ratio, b) + fake_all.shape[1:])
+      zy_scan = (zy_all.reshape(ratio, b) if cfg.conditional
+                 else jnp.zeros((ratio, b), jnp.int32))
+
+      def d_scan_body(carry, xs):
+        x, y, k, fk, fzy = xs
+        carry, loss = d_update(
+            carry, x, y, jax.random.fold_in(use_rng, k), fake=fk,
+            zy=fzy if cfg.conditional else None)
+        return carry, loss
+
+      scan_xs = (real, labels, jnp.arange(ratio, dtype=jnp.int32),
+                 fakes, zy_scan)
+    else:
+      def d_scan_body(carry, xs):
+        x, y, k = xs
+        carry, loss = d_update(carry, x, y,
+                               jax.random.fold_in(use_rng, k))
+        return carry, loss
+
+      scan_xs = (real, labels, jnp.arange(ratio, dtype=jnp.int32))
 
     state, (d_losses, d_gnorms) = lax.scan(
-        d_scan_body, state,
-        (real, labels, jnp.arange(ratio, dtype=jnp.int32)),
+        d_scan_body, state, scan_xs,
         unroll=(max(ratio, 1) if cfg.unroll_d_scan else 1))
 
     state, (g_loss, g_gnorm) = g_update(
