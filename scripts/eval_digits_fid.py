@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Real-feature-space FID trajectory on real images (VERDICT r2 #2).
+"""Real-feature-space FID + IS trajectories on real images (VERDICT r2 #2).
 
 The IS/FID evaluator math is unit-tested against scipy, but with no
 Inception weights on this box no *distributional* quality metric had
@@ -9,19 +9,32 @@ G -> feature-net -> frechet_distance loop. This script closes that:
 1. Trains a small, independent convolutional feature network to
    classify the bundled sklearn digits (the only real image data on a
    zero-egress box) — the Inception-analog. Features = its 64-d
-   penultimate layer.
+   penultimate layer; class probabilities = its softmax head.
 2. Walks every full-state checkpoint of a digits GAN run
    (``checkpoints_dir/<name>/epoch_*``), generates samples from each,
-   and computes the Fréchet distance between generated and real
+   and computes (a) the Fréchet distance between generated and real
    feature moments with the SAME ``frechet_distance`` the production
-   FID path uses (``wcgan_tpu/evaluation/metrics.py``; rebuilds
-   ``gan/fid.py``'s role [U], SURVEY.md §2a).
-3. Prints the trajectory plus two calibration rows: real-vs-real split
-   FID (the floor) and noise-vs-real (the ceiling).
+   FID path uses, and (b) the Inception-Score analog
+   exp(E KL(p(y|x) || p(y))) on the judge's softmax with the SAME
+   ``inception_score`` split math (``wcgan_tpu/evaluation/metrics.py``;
+   rebuilds ``gan/fid.py`` + ``gan/inception_score.py``'s roles [U],
+   SURVEY.md §2a).
+3. Prints both trajectories plus calibration rows: real-vs-real split
+   FID / real-digits IS (the targets) and uniform-noise FID / IS (the
+   degenerate ends).
 
-Usage (after a digits training run with --checkpoint_ratio K):
-  python scripts/eval_digits_fid.py --checkpoints_dir /path/ck \
-      --name digits_fid_run [--samples 1797] [--platform cpu]
+Usage — first train the digits run (README r3 table used exactly this,
+~6 min on one v5e chip):
+  python run.py --dataset digits --gan_type PROJECTIVE --arch res \
+      --batch_size 64 --generator_block_coloring ucconv \
+      --generator_last_coloring ucconv --bf16 --number_of_epochs 300 \
+      --checkpoint_ratio 25 --display_ratio 50 \
+      --output_dir /tmp/digits_out --checkpoints_dir /tmp/digits_ckpt \
+      --name digits_r3
+then:
+  python scripts/eval_digits_fid.py --checkpoints_dir /tmp/digits_ckpt \
+      --output_dir /tmp/digits_out --name digits_r3 \
+      [--samples 1797] [--platform cpu]
 """
 
 import argparse
@@ -33,9 +46,10 @@ import numpy as np
 
 def build_feature_net(images_u8, labels, rng_seed=0, steps=600,
                       batch=256, lr=1e-3):
-  """Train the judge CNN; returns (feature_fn, train_accuracy).
+  """Train the judge CNN; returns (feature_fn, prob_fn, train_accuracy).
 
   feature_fn: uint8 NHWC -> (N, 64) float32 penultimate features.
+  prob_fn:    uint8 NHWC -> (N, 10) float32 softmax class probabilities.
   """
   import jax
   import jax.numpy as jnp
@@ -79,12 +93,13 @@ def build_feature_net(images_u8, labels, rng_seed=0, steps=600,
   @jax.jit
   def feats_fn(x_u8):
     x = jnp.asarray(x_u8, jnp.float32) / 127.5 - 1.0
-    feats, _ = model.apply(params, x)
-    return feats
+    feats, logits = model.apply(params, x)
+    return feats, jax.nn.softmax(logits, axis=-1)
 
   _, logits = model.apply(params, x_all)
   acc = float((jnp.argmax(logits, -1) == y_all).mean())
-  return (lambda u8: np.asarray(feats_fn(u8), np.float32)), acc
+  return (lambda u8: np.asarray(feats_fn(u8)[0], np.float32)), \
+      (lambda u8: np.asarray(feats_fn(u8)[1], np.float32)), acc
 
 
 def fid_between(feats_a, feats_b):
@@ -140,33 +155,50 @@ def main(argv=None) -> int:
 
   real_u8 = trainer.ds.images  # (1797, 16, 16, 1) uint8
   real_y = trainer.ds.labels
-  feature_fn, judge_acc = build_feature_net(real_u8, real_y)
+  feature_fn, prob_fn, judge_acc = build_feature_net(real_u8, real_y)
   print(f"judge feature net trained: accuracy {judge_acc:.3f} on "
         f"{len(real_u8)} real digits (features = 64-d penultimate)")
 
+  import jax.numpy as _jnp
+  from wcgan_tpu.evaluation import metrics as _metrics
+
+  def is_of(u8):
+    mean, std = _metrics.inception_score(_jnp.asarray(prob_fn(u8)))
+    return float(mean), float(std)
+
   feats_real = feature_fn(real_u8)
-  # Calibration: the floor (real vs real split) and a ceiling (noise).
+  # Calibration: the floor (real vs real split) and a ceiling (noise)
+  # for FID; the real-digits and uniform-noise IS-analogs bracket the
+  # meaningful IS range the same way (10 balanced classes => max 10).
   half = len(real_u8) // 2
   floor = fid_between(feats_real[:half], feats_real[half:2 * half])
   rng = np.random.default_rng(0)
   noise_u8 = rng.integers(0, 256, real_u8.shape, dtype=np.uint8)
   ceil = fid_between(feats_real, feature_fn(noise_u8))
-  print(f"calibration: real-split floor {floor:.3f} | "
-        f"uniform-noise ceiling {ceil:.3f}")
+  is_real, is_real_std = is_of(real_u8)
+  is_noise, _ = is_of(noise_u8)
+  print(f"calibration: FID real-split floor {floor:.3f} | "
+        f"FID uniform-noise ceiling {ceil:.3f} | "
+        f"IS real digits {is_real:.3f}±{is_real_std:.3f} | "
+        f"IS uniform noise {is_noise:.3f}")
 
-  print("| epoch | feature-FID (fake vs real) |")
-  print("|---|---|")
+  print("| epoch | feature-FID (fake vs real) | IS-analog |")
+  print("|---|---|---|")
   traj = []
   for ep in epochs:
     trainer.restore_checkpoint(trainer.checkpoint_path(ep))
     fake_u8 = trainer.generate(args.samples)
     fid = fid_between(feature_fn(fake_u8), feats_real)
-    traj.append((ep, fid))
-    print(f"| {ep} | {fid:.3f} |", flush=True)
+    is_m, is_s = is_of(fake_u8)
+    traj.append((ep, fid, is_m))
+    print(f"| {ep} | {fid:.3f} | {is_m:.3f}±{is_s:.3f} |", flush=True)
 
   first, last = traj[0][1], traj[-1][1]
-  print(f"trajectory: {first:.3f} (epoch {traj[0][0]}) -> {last:.3f} "
+  print(f"FID trajectory: {first:.3f} (epoch {traj[0][0]}) -> {last:.3f} "
         f"(epoch {traj[-1][0]}); decreasing={last < first}")
+  print(f"IS trajectory: {traj[0][2]:.3f} -> {traj[-1][2]:.3f} "
+        f"(real-digits target {is_real:.3f}); "
+        f"increasing={traj[-1][2] > traj[0][2]}")
   return 0
 
 
