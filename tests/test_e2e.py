@@ -69,6 +69,20 @@ def test_resume_and_test_phase(rundirs):
   assert main(testargs) == 0
 
 
+def test_h5_checkpoint_loads_directly(rundirs, tmp_path):
+  """Reference-parity load path: a Keras-style .h5 passed straight to
+  --generator_checkpoint (reference checkpoints are .h5 [U]; converted
+  users should not need a manual to_npz step)."""
+  pytest.importorskip("h5py")
+  from wcgan_tpu.tools.h5_convert import npz_to_h5
+  out, ckpt, argv = rundirs
+  gnpz = os.path.join(ckpt, "smoke", "epoch_1_generator.npz")
+  gh5 = str(tmp_path / "epoch_1_generator.h5")
+  npz_to_h5(gnpz, gh5)
+  assert main(argv + ["--phase", "test",
+                      "--generator_checkpoint", gh5]) == 0
+
+
 def test_resume_auto_infers_start_epoch(tmp_path):
   """--resume auto without an explicit --start_epoch must continue the
   epoch schedule from the checkpoint, not relabel from 0 (and not train

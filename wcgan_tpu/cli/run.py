@@ -59,9 +59,16 @@ def build_parser() -> argparse.ArgumentParser:
   p.add_argument("--display_ratio", type=int, default=1)
   p.add_argument("--start_epoch", type=int, default=0)
   p.add_argument("--generator_checkpoint", default=None,
-                 help="weights-only generator .npz to load")
+                 help="weights-only generator .npz (or Keras-style .h5) "
+                      "to load")
   p.add_argument("--discriminator_checkpoint", default=None,
-                 help="weights-only discriminator .npz to load")
+                 help="weights-only discriminator .npz (or Keras-style "
+                      ".h5) to load")
+  p.add_argument("--checkpoint_key_map", default=None,
+                 help="JSON {src_key: dst_key} rename table applied when "
+                      "loading --generator/--discriminator_checkpoint "
+                      "(the standing hook for the reference's exact "
+                      "Keras layer naming, SURVEY.md §8)")
   p.add_argument("--resume", default=None,
                  help="'auto' = latest full-state checkpoint, or a path")
   p.add_argument("--phase", default="train", choices=["train", "test"])
@@ -328,9 +335,23 @@ def build_experiment(args) -> Trainer:
                  scorer=scorer)
 
 
-def _load_weights_npz(params, path):
-  """Load a weights-only .npz (export_weights format) into a params tree."""
-  loaded = dict(np.load(path))
+def _load_weights_npz(params, path, key_map_path=None):
+  """Load weights-only ``.npz`` (export_weights format) — or a Keras-style
+  ``.h5``/``.hdf5``, flattened through ``tools/h5_convert.h5_flat`` with
+  the optional ``--checkpoint_key_map`` rename table (reference
+  checkpoints load directly, no conversion step) — into a params tree."""
+  key_map = None
+  if key_map_path:
+    import json
+    with open(key_map_path) as f:
+      key_map = json.load(f)
+  if path.endswith((".h5", ".hdf5")):
+    from wcgan_tpu.tools.h5_convert import h5_flat
+    loaded = h5_flat(path, key_map)
+  else:
+    loaded = dict(np.load(path))
+    if key_map:
+      loaded = {key_map.get(k, k): v for k, v in loaded.items()}
 
   def sub(keypath, leaf):
     key = "/".join(str(k) for k in keypath)
@@ -391,11 +412,13 @@ def main(argv=None) -> int:
   if args.generator_checkpoint:
     trainer.state = trainer.state.replace(
         g_params=_load_weights_npz(trainer.state.g_params,
-                                   args.generator_checkpoint))
+                                   args.generator_checkpoint,
+                                   args.checkpoint_key_map))
   if args.discriminator_checkpoint:
     trainer.state = trainer.state.replace(
         d_params=_load_weights_npz(trainer.state.d_params,
-                                   args.discriminator_checkpoint))
+                                   args.discriminator_checkpoint,
+                                   args.checkpoint_key_map))
 
   if args.phase == "test":
     path = trainer.save_sample_grid(args.start_epoch)

@@ -28,9 +28,15 @@ from typing import Dict, Optional
 import numpy as np
 
 
-def h5_to_npz(h5_path: str, npz_path: str,
-              key_map: Optional[Dict[str, str]] = None) -> Dict[str, tuple]:
-  """Flatten an .h5 weight file to npz; returns {key: shape} manifest."""
+def h5_flat(h5_path: str,
+            key_map: Optional[Dict[str, str]] = None
+            ) -> Dict[str, np.ndarray]:
+  """Flatten an .h5 weight file to a {key: array} dict in memory.
+
+  The same flatten the CLI's ``--generator_checkpoint``/
+  ``--discriminator_checkpoint`` loaders use when handed a ``.h5``
+  directly, so reference-style checkpoints load without a conversion
+  step (``--checkpoint_key_map`` supplies the rename table)."""
   import h5py
   out = {}
 
@@ -41,6 +47,13 @@ def h5_to_npz(h5_path: str, npz_path: str,
 
   with h5py.File(h5_path, "r") as f:
     f.visititems(visit)
+  return out
+
+
+def h5_to_npz(h5_path: str, npz_path: str,
+              key_map: Optional[Dict[str, str]] = None) -> Dict[str, tuple]:
+  """Flatten an .h5 weight file to npz; returns {key: shape} manifest."""
+  out = h5_flat(h5_path, key_map)
   np.savez(npz_path, **out)
   return {k: v.shape for k, v in out.items()}
 
