@@ -59,7 +59,9 @@ def _run_with_retries(attempts: int = 3, timeout_s: int = 900) -> int:
     except subprocess.TimeoutExpired:
       last_err = f"attempt {attempt + 1}: wedged (no output in {timeout_s}s)"
       print(last_err, file=sys.stderr, flush=True)
-      _time.sleep(180)  # let the tunnel relay recover before retrying
+      # CLAUDE.md: recovery needs a FULL quiet period of >=5 min —
+      # retrying earlier re-poisons the relay (measured r3).
+      _time.sleep(330)
       continue
     for line in reversed(proc.stdout.splitlines()):
       if line.startswith("{"):

@@ -24,7 +24,10 @@ from wcgan_tpu.train.step import GANConfig, make_jit_step
 
 def bench_variant(norm: str, dtype: str, ns_iters: int,
                   batch=64, zdim=128, res=32, ratio=5, steps=20,
-                  unroll=False, whitening_precision="highest"):
+                  unroll=False, whitening_precision="high"):
+  # whitening_precision default matches the shipped product default
+  # (HIGH since r3) so default ablation rows measure the same config as
+  # bench.py/mfu.py; pass "highest" explicitly for the parity mode.
   from wcgan_tpu.ops import whiten as whiten_ops
   whiten_ops.set_precision(whitening_precision)
   gcfg = GeneratorConfig(

@@ -111,7 +111,7 @@ def fid_between(feats_a, feats_b):
 
 
 def main(argv=None) -> int:
-  sys.path.insert(0, ".")
+  sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
   ap = argparse.ArgumentParser()
   ap.add_argument("--checkpoints_dir", required=True)
   ap.add_argument("--output_dir", default="/tmp/digits_fid_out")
@@ -147,8 +147,18 @@ def main(argv=None) -> int:
   trainer = build_experiment(build_parser().parse_args(run_argv))
 
   ckpt_root = trainer.ckpt_dir
-  epochs = sorted(int(d.split("_")[1]) for d in os.listdir(ckpt_root)
-                  if d.startswith("epoch_") and not d.endswith(".npz"))
+  epochs = []
+  for d in os.listdir(ckpt_root):
+    if not d.startswith("epoch_") or d.endswith(".npz"):
+      continue
+    # Interrupted orbax saves leave epoch_<n>.orbax-checkpoint-tmp-*
+    # dirs; skip anything whose suffix is not a clean integer (the same
+    # guard Trainer.latest_checkpoint uses).
+    try:
+      epochs.append(int(d.split("_")[1]))
+    except ValueError:
+      continue
+  epochs.sort()
   if not epochs:
     print(f"no full-state checkpoints under {ckpt_root}")
     return 1

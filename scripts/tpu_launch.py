@@ -16,7 +16,7 @@ training runs are safe as long as they log per epoch (the Trainer
 does).
 
 Usage:
-    python scripts/tpu_launch.py [--stall_timeout 900] [--cooldown 240]
+    python scripts/tpu_launch.py [--stall_timeout 900] [--cooldown 330]
         [--attempts 3] -- python -u run.py ...
 
 bench.py carries its own equivalent armor (one-JSON-line driver
@@ -70,7 +70,7 @@ def main() -> int:
   ap = argparse.ArgumentParser()
   ap.add_argument("--stall_timeout", type=float, default=900.0,
                   help="seconds without ANY child output => wedged")
-  ap.add_argument("--cooldown", type=float, default=240.0,
+  ap.add_argument("--cooldown", type=float, default=330.0,
                   help="relay recovery wait between attempts")
   ap.add_argument("--attempts", type=int, default=3)
   ap.add_argument("cmd", nargs=argparse.REMAINDER,

@@ -125,6 +125,67 @@ def test_scorer_selective_fetch():
   assert probs is None and pools.shape == (6, 4)
 
 
+def test_scorer_pool_rows_cap():
+  """pool_rows caps the pool fetch to the first N rows (FID piggyback
+  on the IS pass) while probs still cover every row."""
+  from wcgan_tpu.evaluation.scorer import _activations
+
+  def fake_apply(x):
+    return (jnp.arange(x.shape[0], dtype=jnp.float32)[:, None]
+            * jnp.ones((1, 4))), jnp.full((x.shape[0], 3), 1 / 3)
+
+  imgs = np.zeros((10, 2, 2, 3), np.uint8)
+  pools, probs = _activations(fake_apply, imgs, batch=4, pool_rows=6)
+  assert probs.shape == (10, 3)
+  assert pools.shape == (6, 4)  # 4 from chunk 1 + first 2 of chunk 2
+
+
+def test_scorer_fid_piggyback_matches_separate(monkeypatch):
+  """With IS+FID both on, the scorer reuses the IS pass's first
+  samples_fid images for FID (Trainer.generate reseeds per call, so
+  they are bit-identical) — results must equal separately-computed
+  metrics, from ONE generate call. Inception is stubbed with a tiny
+  deterministic net; the logic under test is all in the scorer."""
+  from wcgan_tpu.data import get_dataset
+  from wcgan_tpu.evaluation import scorer as scorer_mod
+
+  class TinyNet:
+    def apply(self, variables, x):
+      pool = jnp.mean(x, axis=(1, 2))              # (N, 3)
+      logits = jnp.concatenate([pool, -pool], -1)  # (N, 6)
+      return pool, logits
+
+  monkeypatch.setattr(scorer_mod.inception_v3, "init_params",
+                      lambda rng=None: (TinyNet(), {}))
+  ds = get_dataset("synthetic", batch_size=8, synthetic_size=64)
+
+  class FakeTrainer:
+    calls = 0
+
+    def generate(self, n, batch=256, rng_seed=0):
+      type(self).calls += 1
+      rng = np.random.default_rng(rng_seed)
+      return rng.integers(0, 256, (n, 32, 32, 3), dtype=np.uint8)
+
+  both = scorer_mod.make_scorer(
+      ds, compute_is=True, compute_fid=True, samples_inception=32,
+      samples_fid=16, batch=8)
+  out_both = both(FakeTrainer())
+  gen_calls_both = FakeTrainer.calls
+  FakeTrainer.calls = 0
+  is_only = scorer_mod.make_scorer(
+      ds, compute_is=True, compute_fid=False, samples_inception=32,
+      batch=8)
+  fid_only = scorer_mod.make_scorer(
+      ds, compute_is=False, compute_fid=True, samples_fid=16, batch=8)
+  out_sep = {**is_only(FakeTrainer()), **fid_only(FakeTrainer())}
+  assert gen_calls_both == 1  # the piggyback: ONE generate call total
+  assert set(out_both) == set(out_sep)
+  for k in out_sep:
+    np.testing.assert_allclose(out_both[k], out_sep[k], rtol=1e-5,
+                               err_msg=k)
+
+
 def test_moments_match_numpy_cov():
   rng = np.random.default_rng(3)
   a = rng.standard_normal((128, 16)).astype(np.float32)

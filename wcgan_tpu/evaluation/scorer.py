@@ -25,15 +25,18 @@ from wcgan_tpu.evaluation import inception_v3, metrics
 
 
 def _activations(apply_fn, images_u8: np.ndarray, batch: int,
-                 want_pool: bool = True, want_probs: bool = True):
+                 want_pool: bool = True, want_probs: bool = True,
+                 pool_rows: Optional[int] = None):
   """Run the feature net in minibatches; fetch ONLY the requested
   outputs. IS needs the class probabilities and FID needs the pool
   features — fetching both for every batch doubled host<->device
   transfer in 50k-sample runs (pool 2048-d + probs 1008-d per image,
   f32, through the single-tenant tunnel); the unfetched device buffer
-  is simply dropped."""
+  is simply dropped. ``pool_rows`` caps the pool fetch to the first N
+  rows (the scorer piggybacks FID's pool features on the IS pass)."""
   pools, probs = [], []
   n = images_u8.shape[0]
+  got_pool = 0
   for i in range(0, n, batch):
     chunk = images_u8[i:i + batch]
     real_n = chunk.shape[0]
@@ -42,8 +45,11 @@ def _activations(apply_fn, images_u8: np.ndarray, batch: int,
           [chunk, np.zeros((batch - real_n,) + chunk.shape[1:],
                            chunk.dtype)])
     pool, prob = apply_fn(jnp.asarray(chunk))
-    if want_pool:
-      pools.append(np.asarray(pool)[:real_n])
+    if want_pool and (pool_rows is None or got_pool < pool_rows):
+      take = (real_n if pool_rows is None
+              else min(real_n, pool_rows - got_pool))
+      pools.append(np.asarray(pool)[:take])
+      got_pool += take
     if want_probs:
       probs.append(np.asarray(prob)[:real_n])
   return (np.concatenate(pools) if want_pool else None,
@@ -97,17 +103,29 @@ def make_scorer(dataset, compute_is: bool = True, compute_fid: bool = True,
     log = getattr(getattr(trainer, "logger", None), "line",
                   lambda s: None)
 
+    # Trainer.generate reseeds per call, so with both metrics on the
+    # FID fakes would be bit-identical to the first samples_fid of the
+    # IS batch — generate + Inception-forward them ONCE (the pool fetch
+    # piggybacks on the IS pass; saves a samples_fid generation plus
+    # ~samples_fid/batch device dispatches per scoring call).
+    piggyback = compute_is and compute_fid and \
+        samples_fid <= samples_inception
+    pool_head = None
+
     if compute_is:
       t0 = time.perf_counter()
       imgs = trainer.generate(samples_inception)
       t1 = time.perf_counter()
-      _, probs = _activations(apply_fn, imgs, batch, want_pool=False)
+      pool_head, probs = _activations(
+          apply_fn, imgs, batch, want_pool=piggyback,
+          pool_rows=samples_fid if piggyback else None)
       mean, std = metrics.inception_score(jnp.asarray(probs))
       out["inception_score"] = float(mean)
       out["is_std"] = float(std)
       log(f"scorer: IS over {samples_inception} samples — generate "
           f"{t1 - t0:.1f}s, inception+score "
-          f"{time.perf_counter() - t1:.1f}s")
+          f"{time.perf_counter() - t1:.1f}s"
+          + (" (FID pool piggybacked)" if piggyback else ""))
 
     if compute_fid:
       t0 = time.perf_counter()
@@ -118,8 +136,12 @@ def make_scorer(dataset, compute_is: bool = True, compute_fid: bool = True,
         cache["real_moments"] = metrics.moments_from_activations(
             jnp.asarray(pool_r))
       t1 = time.perf_counter()
-      fake = trainer.generate(samples_fid)
-      pool_f, _ = _activations(apply_fn, fake, batch, want_probs=False)
+      if pool_head is not None:
+        pool_f = pool_head
+      else:
+        fake = trainer.generate(samples_fid)
+        pool_f, _ = _activations(apply_fn, fake, batch,
+                                 want_probs=False)
       mu_f, sig_f = metrics.moments_from_activations(jnp.asarray(pool_f))
       mu_r, sig_r = cache["real_moments"]
       out["fid"] = metrics.fid_from_moments(mu_r, sig_r, mu_f, sig_f)
