@@ -59,9 +59,11 @@ def _run_with_retries(attempts: int = 3, timeout_s: int = 900) -> int:
     except subprocess.TimeoutExpired:
       last_err = f"attempt {attempt + 1}: wedged (no output in {timeout_s}s)"
       print(last_err, file=sys.stderr, flush=True)
-      # CLAUDE.md: recovery needs a FULL quiet period of >=5 min —
-      # retrying earlier re-poisons the relay (measured r3).
-      _time.sleep(330)
+      if attempt < attempts - 1:
+        # CLAUDE.md: recovery needs a FULL quiet period of >=5 min —
+        # retrying earlier re-poisons the relay (measured r3). No sleep
+        # after the final attempt: nothing retries, report immediately.
+        _time.sleep(330)
       continue
     for line in reversed(proc.stdout.splitlines()):
       if line.startswith("{"):
@@ -70,7 +72,8 @@ def _run_with_retries(attempts: int = 3, timeout_s: int = 900) -> int:
     last_err = (f"attempt {attempt + 1}: rc={proc.returncode}, no JSON; "
                 f"stderr tail: {proc.stderr[-500:]}")
     print(last_err, file=sys.stderr, flush=True)
-    _time.sleep(60)
+    if attempt < attempts - 1:
+      _time.sleep(60)
   print(f"bench failed after {attempts} attempts: {last_err}",
         file=sys.stderr)
   return 1

@@ -145,13 +145,17 @@ def main():
   if "--swing" in sys.argv:
     # VERDICT r2 #4: measured candidate swings at the bf16 headline
     # shape, back-to-back for comparability.
+    # All rows run the shipped HIGH precision default unless named
+    # otherwise (pre-r3 archives of these rows ran 'highest' baselines —
+    # the ns15_highest_b64 row keeps the precision contrast measurable).
     swings = [
         ("baseline_ns15_b64", dict(ns_iters=15)),
+        ("ns15_highest_b64", dict(ns_iters=15,
+                                  whitening_precision="highest")),
         ("ns12_b64", dict(ns_iters=12)),
         ("unroll_dscan_b64", dict(ns_iters=15, unroll=True)),
         ("baseline_ns15_b128", dict(ns_iters=15, batch=128)),
-        ("ns12_high_b128", dict(ns_iters=12, batch=128,
-                                whitening_precision="high")),
+        ("ns12_b128", dict(ns_iters=12, batch=128)),
     ]
     for name, kw in swings:
       v = bench_variant("d", "bfloat16", **kw)

@@ -98,8 +98,14 @@ def build_feature_net(images_u8, labels, rng_seed=0, steps=600,
 
   _, logits = model.apply(params, x_all)
   acc = float((jnp.argmax(logits, -1) == y_all).mean())
-  return (lambda u8: np.asarray(feats_fn(u8)[0], np.float32)), \
-      (lambda u8: np.asarray(feats_fn(u8)[1], np.float32)), acc
+
+  def judge_fn(u8):
+    """One jitted forward -> (features, probs); callers needing both
+    must not pay two passes + two fetches per batch."""
+    feats, probs = feats_fn(u8)
+    return np.asarray(feats, np.float32), np.asarray(probs, np.float32)
+
+  return judge_fn, acc
 
 
 def fid_between(feats_a, feats_b):
@@ -165,18 +171,18 @@ def main(argv=None) -> int:
 
   real_u8 = trainer.ds.images  # (1797, 16, 16, 1) uint8
   real_y = trainer.ds.labels
-  feature_fn, prob_fn, judge_acc = build_feature_net(real_u8, real_y)
+  judge_fn, judge_acc = build_feature_net(real_u8, real_y)
   print(f"judge feature net trained: accuracy {judge_acc:.3f} on "
         f"{len(real_u8)} real digits (features = 64-d penultimate)")
 
   import jax.numpy as _jnp
   from wcgan_tpu.evaluation import metrics as _metrics
 
-  def is_of(u8):
-    mean, std = _metrics.inception_score(_jnp.asarray(prob_fn(u8)))
+  def is_of(probs):
+    mean, std = _metrics.inception_score(_jnp.asarray(probs))
     return float(mean), float(std)
 
-  feats_real = feature_fn(real_u8)
+  feats_real, probs_real = judge_fn(real_u8)
   # Calibration: the floor (real vs real split) and a ceiling (noise)
   # for FID; the real-digits and uniform-noise IS-analogs bracket the
   # meaningful IS range the same way (10 balanced classes => max 10).
@@ -184,9 +190,10 @@ def main(argv=None) -> int:
   floor = fid_between(feats_real[:half], feats_real[half:2 * half])
   rng = np.random.default_rng(0)
   noise_u8 = rng.integers(0, 256, real_u8.shape, dtype=np.uint8)
-  ceil = fid_between(feats_real, feature_fn(noise_u8))
-  is_real, is_real_std = is_of(real_u8)
-  is_noise, _ = is_of(noise_u8)
+  feats_noise, probs_noise = judge_fn(noise_u8)
+  ceil = fid_between(feats_real, feats_noise)
+  is_real, is_real_std = is_of(probs_real)
+  is_noise, _ = is_of(probs_noise)
   print(f"calibration: FID real-split floor {floor:.3f} | "
         f"FID uniform-noise ceiling {ceil:.3f} | "
         f"IS real digits {is_real:.3f}±{is_real_std:.3f} | "
@@ -198,8 +205,9 @@ def main(argv=None) -> int:
   for ep in epochs:
     trainer.restore_checkpoint(trainer.checkpoint_path(ep))
     fake_u8 = trainer.generate(args.samples)
-    fid = fid_between(feature_fn(fake_u8), feats_real)
-    is_m, is_s = is_of(fake_u8)
+    feats_fake, probs_fake = judge_fn(fake_u8)
+    fid = fid_between(feats_fake, feats_real)
+    is_m, is_s = is_of(probs_fake)
     traj.append((ep, fid, is_m))
     print(f"| {ep} | {fid:.3f} | {is_m:.3f}±{is_s:.3f} |", flush=True)
 

@@ -84,10 +84,13 @@ def main() -> int:
     rc = run_once(cmd, a.stall_timeout)
     if rc is not None:
       return rc
+    last = attempt == a.attempts
     print(f"[tpu_launch] attempt {attempt}: stalled "
-          f"(no output for {a.stall_timeout:.0f}s); killed; "
-          f"cooling down {a.cooldown:.0f}s", file=sys.stderr, flush=True)
-    time.sleep(a.cooldown)
+          f"(no output for {a.stall_timeout:.0f}s); killed"
+          + ("" if last else f"; cooling down {a.cooldown:.0f}s"),
+          file=sys.stderr, flush=True)
+    if not last:  # no retry follows the final attempt — report now
+      time.sleep(a.cooldown)
   print(f"[tpu_launch] giving up after {a.attempts} stalled attempts",
         file=sys.stderr)
   return 124

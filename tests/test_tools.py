@@ -1,8 +1,11 @@
-"""h5 <-> npz converter roundtrip."""
+"""h5 <-> npz converter roundtrip + CLI weight-loader key mapping."""
+
+import json
 
 import numpy as np
+import pytest
 
-from wcgan_tpu.tools.h5_convert import h5_to_npz, npz_to_h5
+from wcgan_tpu.tools.h5_convert import h5_flat, h5_to_npz, npz_to_h5
 
 
 def test_h5_npz_roundtrip(tmp_path, rng):
@@ -27,3 +30,39 @@ def test_h5_to_npz_key_map(tmp_path, rng):
   npz_to_h5(str(npz1), str(h5))
   h5_to_npz(str(h5), str(npz2), key_map={"old/name": "new/name"})
   assert "new/name" in dict(np.load(str(npz2)))
+
+
+def test_h5_flat_key_map_collision_is_loud(tmp_path):
+  """Two source datasets mapped to one destination must raise, not
+  silently last-write-win (a wrong-weights load would be invisible)."""
+  npz1, h5 = tmp_path / "a.npz", tmp_path / "a.h5"
+  np.savez(npz1, **{"a/w": np.ones(2, np.float32),
+                    "b/w": np.zeros(2, np.float32)})
+  npz_to_h5(str(npz1), str(h5))
+  with pytest.raises(ValueError, match="duplicate destination"):
+    h5_flat(str(h5), key_map={"a/w": "b/w"})
+
+
+def test_cli_loader_per_model_key_map(tmp_path):
+  """--checkpoint_key_map with {'generator': ..., 'discriminator': ...}
+  sections: each model's load applies only its own table (reference
+  Keras default layer names collide between G and D)."""
+  from wcgan_tpu.cli.run import _load_weights_npz
+  import jax
+
+  params = {"dense": {"kernel": np.zeros((2, 2), np.float32)}}
+  dst_key = "/".join(map(
+      str, jax.tree_util.tree_flatten_with_path(params)[0][0][0]))
+  npz = tmp_path / "w.npz"
+  np.savez(npz, **{"keras_dense_1": np.ones((2, 2), np.float32)})
+  kmap = tmp_path / "map.json"
+  kmap.write_text(json.dumps({
+      "generator": {"keras_dense_1": dst_key},
+      "discriminator": {"keras_dense_1": "somewhere/else"}}))
+  out = _load_weights_npz(params, str(npz), str(kmap),
+                          model="generator")
+  np.testing.assert_array_equal(out["dense"]["kernel"],
+                                np.ones((2, 2), np.float32))
+  with pytest.raises(KeyError):  # D's section maps it elsewhere
+    _load_weights_npz(params, str(npz), str(kmap),
+                      model="discriminator")

@@ -65,10 +65,13 @@ def build_parser() -> argparse.ArgumentParser:
                  help="weights-only discriminator .npz (or Keras-style "
                       ".h5) to load")
   p.add_argument("--checkpoint_key_map", default=None,
-                 help="JSON {src_key: dst_key} rename table applied when "
-                      "loading --generator/--discriminator_checkpoint "
-                      "(the standing hook for the reference's exact "
-                      "Keras layer naming, SURVEY.md §8)")
+                 help="JSON rename table applied when loading "
+                      "--generator/--discriminator_checkpoint: either "
+                      "one flat {src: dst} map for both, or "
+                      "{'generator': {...}, 'discriminator': {...}} "
+                      "sections (Keras default layer names collide "
+                      "between G and D). The standing hook for the "
+                      "reference's exact layer naming, SURVEY.md §8")
   p.add_argument("--resume", default=None,
                  help="'auto' = latest full-state checkpoint, or a path")
   p.add_argument("--phase", default="train", choices=["train", "test"])
@@ -335,23 +338,36 @@ def build_experiment(args) -> Trainer:
                  scorer=scorer)
 
 
-def _load_weights_npz(params, path, key_map_path=None):
+def _load_weights_npz(params, path, key_map_path=None, model=None):
   """Load weights-only ``.npz`` (export_weights format) — or a Keras-style
   ``.h5``/``.hdf5``, flattened through ``tools/h5_convert.h5_flat`` with
   the optional ``--checkpoint_key_map`` rename table (reference
-  checkpoints load directly, no conversion step) — into a params tree."""
+  checkpoints load directly, no conversion step) — into a params tree.
+
+  The key-map JSON is either one flat {src: dst} table applied to both
+  models, or split per model: {"generator": {...}, "discriminator":
+  {...}} — needed because reference Keras files use default layer names
+  that collide between G and D (``model`` selects the section)."""
   key_map = None
   if key_map_path:
     import json
     with open(key_map_path) as f:
       key_map = json.load(f)
+    if key_map and all(isinstance(v, dict) for v in key_map.values()):
+      key_map = key_map.get(model, {})
   if path.endswith((".h5", ".hdf5")):
     from wcgan_tpu.tools.h5_convert import h5_flat
     loaded = h5_flat(path, key_map)
   else:
     loaded = dict(np.load(path))
     if key_map:
-      loaded = {key_map.get(k, k): v for k, v in loaded.items()}
+      renamed = {}
+      for k, v in loaded.items():
+        dst = key_map.get(k, k)
+        if dst in renamed:
+          raise ValueError(f"key_map collision on destination {dst!r}")
+        renamed[dst] = v
+      loaded = renamed
 
   def sub(keypath, leaf):
     key = "/".join(str(k) for k in keypath)
@@ -413,12 +429,14 @@ def main(argv=None) -> int:
     trainer.state = trainer.state.replace(
         g_params=_load_weights_npz(trainer.state.g_params,
                                    args.generator_checkpoint,
-                                   args.checkpoint_key_map))
+                                   args.checkpoint_key_map,
+                                   model="generator"))
   if args.discriminator_checkpoint:
     trainer.state = trainer.state.replace(
         d_params=_load_weights_npz(trainer.state.d_params,
                                    args.discriminator_checkpoint,
-                                   args.checkpoint_key_map))
+                                   args.checkpoint_key_map,
+                                   model="discriminator"))
 
   if args.phase == "test":
     path = trainer.save_sample_grid(args.start_epoch)

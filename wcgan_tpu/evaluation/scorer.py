@@ -52,6 +52,10 @@ def _activations(apply_fn, images_u8: np.ndarray, batch: int,
       got_pool += take
     if want_probs:
       probs.append(np.asarray(prob)[:real_n])
+  if want_pool and pool_rows is not None and got_pool < pool_rows:
+    raise ValueError(
+        f"pool_rows={pool_rows} exceeds available rows {n} — the FID "
+        f"sample count must not exceed the images provided")
   return (np.concatenate(pools) if want_pool else None,
           np.concatenate(probs) if want_probs else None)
 

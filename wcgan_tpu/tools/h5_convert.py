@@ -43,6 +43,11 @@ def h5_flat(h5_path: str,
   def visit(name, obj):
     if isinstance(obj, h5py.Dataset):
       key = key_map.get(name, name) if key_map else name
+      if key in out:
+        # Last-write-wins here would be a silent wrong-weights load.
+        raise ValueError(
+            f"duplicate destination key {key!r} (from dataset {name!r}) "
+            f"— fix the key_map collision")
       out[key] = np.asarray(obj)
 
   with h5py.File(h5_path, "r") as f:
