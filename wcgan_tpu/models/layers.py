@@ -61,6 +61,15 @@ def _row_precision(dtype) -> Optional[lax.Precision]:
   return None if dtype == jnp.bfloat16 else lax.Precision.HIGHEST
 
 
+def _eye_init(key, shape, dtype):
+  """Identity init for coloring filters: whitened input passes through
+  unchanged at step 0 (stabilizes early training when Sigma is wild).
+  One definition — the fused paths' cross-path checkpoint/equivalence
+  contract depends on every coloring variant initializing identically."""
+  del key
+  return jnp.eye(shape[0], shape[1], dtype=dtype)
+
+
 def _pallas_eval_ok(pallas_eval: Optional[bool], method: str) -> bool:
   """Gate for the fully-fused stats-given WC kernel
   (ops/pallas_wc.py::whiten_color_apply). Auto (None) = OFF: measured on
@@ -72,8 +81,15 @@ def _pallas_eval_ok(pallas_eval: Optional[bool], method: str) -> bool:
   r1 training-path measurement (ops/pallas_wc.py) — the kernel remains
   available (``pallas_eval=True``; interpreter off-TPU) as the oracle-
   tested single-pass variant, not the product default."""
-  if pallas_eval is not None:
-    return pallas_eval and method == "newton_schulz"
+  if pallas_eval:
+    if method != "newton_schulz":
+      # Forced mode must be honest: the kernel has no Cholesky solve, so
+      # silently falling back would record split-path numbers as
+      # "fused kernel" measurements.
+      raise ValueError(
+          f"pallas_eval=True requires method='newton_schulz' "
+          f"(got {method!r}); the fused kernel has no Cholesky phase")
+    return True
   return False
 
 
@@ -97,7 +113,9 @@ class DecorrelationNorm(nn.Module):
   mode: str = "d"
   method: str = "newton_schulz"  # or "cholesky" (oracle)
   axis_name: Optional[str] = None
-  pallas_eval: Optional[bool] = None  # None/False = XLA split path (measured faster); True forces the fused kernel
+  pallas_eval: Optional[bool] = None  # None/False = XLA split path
+                                      # (measured faster); True forces
+                                      # the fused kernel
 
   @nn.compact
   def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
@@ -130,12 +148,14 @@ class DecorrelationNorm(nn.Module):
           eps=self.eps, num_iters=self.ns_iters, axis_name=axis,
           method=self.method)
     elif self.mode == "dr":
-      mean, cov = whiten_ops.batch_moments(x2d, axis_name=axis)
+      bmean, bcov = whiten_ops.batch_moments(x2d, axis_name=axis)
+      mean, stat_src, new_mean, new_cov = \
+          whiten_ops.stats_select_and_ema(
+              bmean, bcov, r_mean.value, r_cov.value,
+              use_batch=False, momentum=self.momentum)
       out = whiten_ops.whiten_eval(
-          x2d, r_mean.value, r_cov.value, eps=self.eps,
+          x2d, mean, stat_src, eps=self.eps,
           num_iters=self.ns_iters, method=self.method)
-      new_mean = self.momentum * r_mean.value + (1 - self.momentum) * mean
-      new_cov = self.momentum * r_cov.value + (1 - self.momentum) * cov
     else:
       raise ValueError(f"unknown whitening mode {self.mode!r}")
 
@@ -238,16 +258,11 @@ class Coloring(nn.Module):
         out = out + coloring_ops.center_scale(x3d, gamma, beta)
       return out.reshape(x.shape)
 
-    # 1x1-conv family. Identity-like init: whitened input passes through
-    # unchanged at step 0 (stabilizes early training when Sigma is wild).
-    def eye_init(key, shape, dtype):
-      del key
-      return jnp.eye(shape[0], shape[1], dtype=dtype)
-
+    # 1x1-conv family; identity init via the shared _eye_init.
     x3d = _as_nsc(x)
     out = None
     if code in ("uconv", "ucconv", "ucconv-sa"):
-      gamma_a = self.param("gamma_a", eye_init, (c, c), pd)
+      gamma_a = self.param("gamma_a", _eye_init, (c, c), pd)
       beta_a = self.param("beta_a", nn.initializers.zeros, (c,), pd)
       out = coloring_ops.color_uncond(x3d, gamma_a, beta_a)
     if code in ("cconv", "ucconv"):
@@ -303,7 +318,9 @@ class NormColor(nn.Module):
   ns_iters: int = 15
   method: str = "newton_schulz"
   axis_name: Optional[str] = None
-  pallas_eval: Optional[bool] = None  # None/False = XLA split path (measured faster); True forces the fused kernel
+  pallas_eval: Optional[bool] = None  # None/False = XLA split path
+                                      # (measured faster); True forces
+                                      # the fused kernel
 
   @nn.compact
   def __call__(self, x: jax.Array, labels: Optional[jax.Array] = None,
@@ -324,7 +341,8 @@ class NormColor(nn.Module):
   def _wc_stats(self, x2d: jax.Array, train: bool):
     """Whitening statistics + EMA updates shared by the fused paths:
     returns (mean, stat_src) — the transform's source moments per the
-    'd'/'dr' semantics — after updating the running stats."""
+    'd'/'dr' semantics (ops/whiten.py::stats_select_and_ema, the single
+    encoding of that contract) — after updating the running stats."""
     c = x2d.shape[-1]
     r_mean = self.variable("wc_stats", "mean",
                            lambda: jnp.zeros((c,), jnp.float32))
@@ -334,15 +352,13 @@ class NormColor(nn.Module):
       return r_mean.value, r_cov.value
     axis = None if self.is_initializing() else self.axis_name
     batch_mean, batch_cov = whiten_ops.batch_moments(x2d, axis_name=axis)
-    if self.mode_uses_batch:            # 'd': transform from batch stats
-      mean, stat_src = batch_mean, batch_cov
-    else:                               # 'dr': from (pre-update) running
-      mean, stat_src = r_mean.value, r_cov.value
+    mean, stat_src, new_mean, new_cov = \
+        whiten_ops.stats_select_and_ema(
+            batch_mean, batch_cov, r_mean.value, r_cov.value,
+            use_batch=self.mode_uses_batch, momentum=self.momentum)
     if not self.is_initializing():
-      r_mean.value = (self.momentum * r_mean.value
-                      + (1 - self.momentum) * batch_mean)
-      r_cov.value = (self.momentum * r_cov.value
-                     + (1 - self.momentum) * batch_cov)
+      r_mean.value = new_mean
+      r_cov.value = new_cov
     return mean, stat_src
 
   def _w(self, stat_src: jax.Array) -> jax.Array:
@@ -353,9 +369,7 @@ class NormColor(nn.Module):
 
   def _fused_wc_uconv(self, x: jax.Array, train: bool) -> jax.Array:
     c = x.shape[-1]
-    gamma = self.param(
-        "gamma", lambda k, s, d: jnp.eye(s[0], s[1], dtype=d),
-        (c, c), jnp.float32)
+    gamma = self.param("gamma", _eye_init, (c, c), jnp.float32)
     beta = self.param("beta", nn.initializers.zeros, (c,), jnp.float32)
 
     x2d = x.reshape(-1, c)
@@ -400,13 +414,9 @@ class NormColor(nn.Module):
     c = x.shape[-1]
     pd = jnp.float32
 
-    def eye_init(key, shape, dtype):
-      del key
-      return jnp.eye(shape[0], shape[1], dtype=dtype)
-
     agnostic = self.coloring in ("ucconv", "ucconv-sa")
     if agnostic:
-      gamma_a = self.param("gamma_a", eye_init, (c, c), pd)
+      gamma_a = self.param("gamma_a", _eye_init, (c, c), pd)
       beta_a = self.param("beta_a", nn.initializers.zeros, (c,), pd)
     if self.coloring in ("cconv", "ucconv"):
       gamma_c = self.param("gamma_c", nn.initializers.normal(stddev=0.02),

@@ -82,6 +82,15 @@ def _moments_kernel(x_ref, mean_ref, cov_ref, acc_sum, acc_xxt, *,
     mu = acc_sum[:] / rows                       # lives in VMEM scratch
     xc = xb - mu
     xc = jnp.where(row_ids < rows, xc, 0.0)      # keep pad rows at zero
+    # Precision: deliberately UNANNOTATED (measured decision, late r3).
+    # Mosaic supports only DEFAULT/HIGHEST on in-kernel dots (HIGH
+    # raises NotImplementedError), and pinning HIGHEST measured the
+    # whole outer step at 8.4-8.6k imgs/s vs 9.5-9.6k unannotated
+    # (-11%, two bench runs each) while the unannotated f32 lowering is
+    # already accurate: the on-chip oracle test pins |kernel - XLA-f32
+    # moments| <= 1e-4 (tests/test_tpu.py), far below the bf16-pass
+    # failure mode (~1e-2) this file documents. The oracle test is the
+    # guard that Mosaic's f32 default stays accurate.
     acc_xxt[:] += jax.lax.dot_general(
         xc, xc, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)

@@ -227,8 +227,11 @@ def cholesky_inv_sqrt(cov: jax.Array, eps: float = 1e-5) -> jax.Array:
   cov = _f32(cov)
   c = cov.shape[-1]
   ident = jnp.eye(c, dtype=jnp.float32)
-  mean_diag = jnp.trace(cov) / c
-  chol = jnp.linalg.cholesky(cov + (eps * mean_diag + 1e-20) * ident)
+  # Same clamp + absolute floor as _jittered_normalized: the trace can
+  # round negative for near-constant features under MXU emulation, and a
+  # negative jitter makes cov non-SPD => Cholesky NaN in the oracle path.
+  mean_diag = jnp.maximum(jnp.trace(cov) / c, 0.0)
+  chol = jnp.linalg.cholesky(cov + (eps * mean_diag + 1e-12) * ident)
   return lax.linalg.triangular_solve(
       chol, ident, left_side=True, lower=True)
 
@@ -262,6 +265,23 @@ def inv_sqrt(cov, num_iters: int = 15, eps: float = 1e-5,
   raise ValueError(f"unknown inv-sqrt method: {method!r}")
 
 
+def stats_select_and_ema(batch_mean, batch_cov, moving_mean, moving_cov,
+                         *, use_batch: bool, momentum: float):
+  """THE single encoding of the reference's 'd'/'dr' stats contract [U]:
+  the transform's source moments are the batch statistics for 'd'
+  (``use_batch=True``) or the PRE-update running statistics for 'dr';
+  the running stats EMA-update from the batch either way (BN-style
+  momentum). Returns (mean, stat_src, new_moving_mean, new_moving_cov).
+  Every training path — the general DecorrelationNorm, whiten_train, and
+  the fused NormColor paths — must route through this helper so the
+  semantics cannot drift apart."""
+  new_mean = momentum * _f32(moving_mean) + (1.0 - momentum) * batch_mean
+  new_cov = momentum * _f32(moving_cov) + (1.0 - momentum) * batch_cov
+  if use_batch:
+    return batch_mean, batch_cov, new_mean, new_cov
+  return _f32(moving_mean), _f32(moving_cov), new_mean, new_cov
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("momentum", "eps", "num_iters", "axis_name", "method"))
@@ -283,14 +303,15 @@ def whiten_train(
   updated with momentum, used at inference;
   ``DecorelationNormalization`` [U]).
   """
-  mean, cov = batch_moments(x2d, axis_name=axis_name)
+  batch_mean, batch_cov = batch_moments(x2d, axis_name=axis_name)
+  mean, stat_src, new_mean, new_cov = stats_select_and_ema(
+      batch_mean, batch_cov, moving_mean, moving_cov,
+      use_batch=True, momentum=momentum)
   if method == "cholesky":
-    w = cholesky_inv_sqrt(cov, eps=eps)
+    w = cholesky_inv_sqrt(stat_src, eps=eps)
   else:
-    w = newton_schulz_inv_sqrt(cov, num_iters=num_iters, eps=eps)
+    w = newton_schulz_inv_sqrt(stat_src, num_iters=num_iters, eps=eps)
   out = whiten_apply(x2d, mean, w)
-  new_mean = momentum * _f32(moving_mean) + (1.0 - momentum) * mean
-  new_cov = momentum * _f32(moving_cov) + (1.0 - momentum) * cov
   return out, new_mean, new_cov
 
 
