@@ -167,6 +167,21 @@ def test_fused_wc_uconv_matches_composition():
   np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
 
 
+def test_pallas_eval_forced_with_cholesky_raises():
+  """pallas_eval=True is a FORCED mode; with method='cholesky' (no
+  Cholesky phase in the kernel) it must raise instead of silently
+  measuring the split path as 'fused' (core review r3)."""
+  import numpy as np
+  import pytest
+  from wcgan_tpu.models import layers as L
+  x = jnp.asarray(np.zeros((4, 2, 2, 8), np.float32))
+  nc = L.NormColor(norm="d", coloring="uconv", method="cholesky",
+                   pallas_eval=True)
+  variables = nc.init(KEY, x, train=True)
+  with pytest.raises(ValueError, match="newton_schulz"):
+    nc.apply(variables, x, train=False)
+
+
 def test_fused_wc_uconv_eval_uses_running_stats():
   from wcgan_tpu.models import layers as L
   import numpy as np

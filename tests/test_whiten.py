@@ -117,6 +117,18 @@ def test_constant_and_zero_inputs_stay_finite(rng):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_cholesky_finite_on_negative_rounded_trace():
+  """Regression (core review r3): a covariance whose diagonal rounds
+  negative (near-constant features under MXU emulation) made the
+  Cholesky jitter negative -> non-SPD -> NaN; the oracle path must stay
+  finite like the NS path does."""
+  c = 8
+  for scale in (1e-12, 1e-9, 1e-7):
+    cov = jnp.asarray(-scale * np.eye(c, dtype=np.float32))
+    w = whiten.cholesky_inv_sqrt(cov)
+    assert np.isfinite(np.asarray(w)).all(), scale
+
+
 def test_large_mean_cancellation_regime(rng):
   """mu >> sigma: the regime where E[xx^T] - mu mu^T loses all precision."""
   c = 32

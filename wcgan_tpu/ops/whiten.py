@@ -227,11 +227,16 @@ def cholesky_inv_sqrt(cov: jax.Array, eps: float = 1e-5) -> jax.Array:
   cov = _f32(cov)
   c = cov.shape[-1]
   ident = jnp.eye(c, dtype=jnp.float32)
-  # Same clamp + absolute floor as _jittered_normalized: the trace can
+  # Same clamp + absolute floor as _jittered_normalized — the trace can
   # round negative for near-constant features under MXU emulation, and a
-  # negative jitter makes cov non-SPD => Cholesky NaN in the oracle path.
+  # negative jitter makes cov non-SPD => Cholesky NaN in the oracle
+  # path — plus a term that compensates the most-negative diagonal
+  # entry (2x: its magnitude bounds the rounding-junk scale, so this
+  # also dominates the off-diagonal junk). Zero for healthy covariances.
   mean_diag = jnp.maximum(jnp.trace(cov) / c, 0.0)
-  chol = jnp.linalg.cholesky(cov + (eps * mean_diag + 1e-12) * ident)
+  neg_diag = jnp.maximum(-jnp.min(jnp.diagonal(cov)), 0.0)
+  jitter = eps * mean_diag + 2.0 * neg_diag + 1e-12
+  chol = jnp.linalg.cholesky(cov + jitter * ident)
   return lax.linalg.triangular_solve(
       chol, ident, left_side=True, lower=True)
 
