@@ -127,16 +127,21 @@ def test_window_rotation_for_large_datasets(tmp_path):
   argv = TINY + ["--output_dir", out, "--checkpoints_dir", ckpt,
                  "--number_of_epochs", "2", "--name", "win",
                  "--checkpoint_ratio", "0", "--display_ratio", "0",
-                 "--device_data_limit", str(bytes_per * 20)]
+                 "--device_data_limit", str(bytes_per * 40)]
   args = build_parser().parse_args(argv)
   trainer = build_experiment(args)
-  assert trainer._window_elems == 20  # budget/bytes_per, >= batch_size
+  # Two half-budget windows in flight: per-window size = (limit/2) /
+  # bytes_per, so TOTAL window HBM stays within --device_data_limit
+  # (full-package review r3; was limit/bytes_per => 2x the budget).
+  assert trainer._window_elems == 20
   assert trainer._window_future is not None  # first window pre-staging
   trainer.train()
   assert trainer._device_data is not None
   assert trainer._device_data[0].shape[0] == 20
-  # The next window is already staged (double buffering active).
-  assert trainer._window_future.done() or trainer._window_future.running()
+  # After train() the staging thread and the unconsumed prestaged window
+  # are released (no dead HBM pinned during post-training eval/export).
+  assert trainer._window_future is None
+  assert trainer._window_exec is None
   with open(os.path.join(out, "win", "log.txt")) as f:
     assert "Epoch 1:" in f.read()
 

@@ -188,8 +188,9 @@ def build_parser() -> argparse.ArgumentParser:
   p.add_argument("--device_data_limit", type=int, default=2_000_000_000,
                  help="HBM byte budget for device-resident data; larger "
                       "datasets train on a double-buffered rotating "
-                      "random window of this size per epoch (next window "
-                      "staged during the epoch — budget 2x for it)")
+                      "random window per epoch (two half-budget windows "
+                      "in flight, so total window HBM stays within this "
+                      "limit)")
   p.add_argument("--compilation_cache_dir", default=".jax_cache",
                  help="persistent XLA compile cache (r3: previously only "
                       "the test suite enabled it — every CLI process "

@@ -32,6 +32,11 @@ class ArrayDataset:
       raise ValueError(f"images must be uint8, got {images.dtype}")
     if images.ndim != 4:
       raise ValueError(f"images must be NHWC, got shape {images.shape}")
+    if labels is not None and len(labels) != len(images):
+      # Fail at construction, not epochs later with an opaque IndexError
+      # (or, for labels LONGER than images, silent misalignment).
+      raise ValueError(f"labels length {len(labels)} != images length "
+                       f"{len(images)}")
     self.images = images
     self.labels = (labels.astype(np.int32)
                    if labels is not None else None)

@@ -218,6 +218,12 @@ def make_outer_step(
             score_only, x, fake, rng_gp,
             weight=cfg.gradient_penalty_weight)
       if cfg.gan_type == "acgan" and rl is not None:
+        # D's aux classifier trains on REAL logits only; the fake-sample
+        # CE enters through the G update (g_update below). This mirrors
+        # the reconstructed reference split — gan/ac_gan.py [U] "aux CE
+        # on real (D) and fake (G)" (SURVEY.md §2a) — not the original
+        # AC-GAN paper's both-sides D objective; a deliberate
+        # reference-parity choice, re-verify if the mount returns.
         loss = loss + loss_ops.ac_gan_aux_loss(rl, y)
       return loss, mut
 
@@ -442,4 +448,16 @@ def make_sharded_step(mesh: Mesh, g_module, d_module, g_tx, d_tx,
       fn, mesh=mesh,
       in_specs=(P(), P(None, DATA_AXIS), P(None, DATA_AXIS)),
       out_specs=(P(), P()))
-  return jax.jit(sharded, donate_argnums=(0,) if donate else ())
+  jitted = jax.jit(sharded, donate_argnums=(0,) if donate else ())
+  n_dev = mesh.devices.size
+
+  def checked(state, real, labels):
+    # Same actionable error make_sharded_dataset_step raises at build
+    # time; without it an indivisible host-fed batch surfaces as an
+    # opaque low-level shard_map sharding failure.
+    if real.shape[1] % n_dev:
+      raise ValueError(f"batch_size {real.shape[1]} must be divisible "
+                       f"by the mesh size {n_dev}")
+    return jitted(state, real, labels)
+
+  return checked

@@ -102,10 +102,14 @@ class Trainer:
       if dataset.images.nbytes > cfg.device_data_limit:
         # Rotating-window pipeline for datasets over the HBM budget:
         # stage a random window once per epoch, sample on-device within
-        # it (one bulk upload per epoch instead of one per step).
+        # it (one bulk upload per epoch instead of one per step). The
+        # double buffer below keeps TWO windows in flight, so each gets
+        # HALF the budget — device_data_limit caps total window HBM,
+        # not per-window size (full-package review r3).
         bytes_per = int(np.prod(dataset.image_shape))
-        self._window_elems = max(cfg.device_data_limit // bytes_per,
-                                 dataset.batch_size)
+        self._window_elems = max(
+            (cfg.device_data_limit // 2) // bytes_per,
+            dataset.batch_size)
         self._window_elems = min(self._window_elems, n_total)
       n = self._window_elems or n_total
       if mesh is not None:
@@ -127,8 +131,8 @@ class Trainer:
       else:
         # Double-buffered staging (SURVEY.md §2b >HBM datasets): window
         # N+1 is sliced on host and its device transfer started WHILE
-        # window N trains, so epochs see no upload stall. Costs a second
-        # window of HBM — size device_data_limit accordingly.
+        # window N trains, so epochs see no upload stall. Two windows in
+        # flight = the halved per-window sizing above.
         self._window_exec = concurrent.futures.ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="window-stage")
         self._window_future = self._window_exec.submit(self._make_window)
@@ -246,7 +250,9 @@ class Trainer:
     converges once Σ drifts past the calibration range (ops/whiten.py
     was calibrated on cond 3–477); this measures it directly, on host,
     off the hot path."""
-    iters = getattr(self.g.cfg, "ns_iters", 15)
+    # getattr-guarded like step.py's module-config reads: a custom G
+    # module without .cfg must not kill diagnostics at the epoch line.
+    iters = getattr(getattr(self.g, "cfg", None), "ns_iters", 15)
     eps = 1e-5
     res = [0.0]
     for path, leaf in jax.tree_util.tree_flatten_with_path(
@@ -362,6 +368,31 @@ class Trainer:
         self.logger.line(
             f"epoch length rounded {batches} -> {rounded} outer steps "
             f"(steps_per_call={spc} chaining)")
+    try:
+      return self._train_epochs(batches)
+    finally:
+      self._drop_pending_window()
+
+  def _drop_pending_window(self) -> None:
+    """Release the final prestaged window (it has no consumer after the
+    epoch loop) and the staging thread, so post-training eval/export do
+    not run with a dead window of HBM pinned. A later train() call falls
+    back to synchronous per-epoch staging — still correct."""
+    if self._window_future is not None:
+      try:
+        # Wait for the in-flight device transfer before dropping the
+        # reference — abandoning a mid-RPC upload can wedge the tunnel.
+        self._window_future.result()
+      except Exception:
+        pass
+      self._window_future = None
+    if self._window_exec is not None:
+      self._window_exec.shutdown(wait=False)
+      self._window_exec = None
+
+  def _train_epochs(self, batches: int) -> Dict[str, Any]:
+    cfg, ds = self.cfg, self.ds
+    ratio = self.gan_cfg.training_ratio
     last: Dict[str, Any] = {}
     for epoch in range(cfg.start_epoch, cfg.number_of_epochs):
       t0 = time.time()
