@@ -166,8 +166,11 @@ def main():
     # One row per BASELINE config's per-chip shape: 1 = DCGAN ns 1:1,
     # 2 = cond cWC + projection (see the conditional-fold ablation for
     # its history), 3 = STL 48px, 4 = Tiny-ImageNet 64px/200c,
-    # 5 = ImageNet-64 per-chip shape (64px, 1000 classes, cWC-sa).
-    for name, kw in (
+    # 5 = ImageNet-64 per-chip shape (64px, 1000 classes; cWC via the
+    # -sa parameterization — plain ucconv at 1000c is 970M G params /
+    # 3.9 GB f32, per-chip infeasible at paper widths; see
+    # cli/presets.py's measured note).
+    shapes = (
         ("cifar10_wc_dcgan_cfg1",
          dict(res=32, ncls=0, coloring="uconv", arch="dcgan", ratio=1,
               loss="ns")),
@@ -177,7 +180,11 @@ def main():
         ("tiny_imagenet_cwcsa_64_cfg4",
          dict(res=64, ncls=200, coloring="ucconv-sa")),
         ("imagenet64_cwcsa_perchip_cfg5",
-         dict(res=64, ncls=1000, coloring="ucconv-sa"))):
+         dict(res=64, ncls=1000, coloring="ucconv-sa")))
+    only = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")]
+    for name, kw in shapes:
+      if only and not any(o in name for o in only):
+        continue
       v = bench_shape(name, **kw)
       print(json.dumps({"config": name, "imgs_per_sec": round(v, 1)}),
             flush=True)

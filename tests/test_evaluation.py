@@ -277,6 +277,14 @@ def test_inception_weight_loader_contract(tmp_path):
 
   walk(variables["params"], [], "params")
   walk(variables["batch_stats"], [], "stats")
+  # A REAL pretrained state_dict always carries AuxLogits + bookkeeping
+  # keys; they must be skipped, not routed into the (AuxLogits-free)
+  # flax tree by the conv/bn branches (evaluation review r3 crash).
+  sd["AuxLogits.conv0.conv.weight"] = np.zeros((128, 768, 1, 1),
+                                               np.float32)
+  sd["AuxLogits.conv0.bn.weight"] = np.zeros((128,), np.float32)
+  sd["AuxLogits.fc.weight"] = np.zeros((1000, 768), np.float32)
+  sd["Conv2d_1a_3x3.bn.num_batches_tracked"] = np.zeros((), np.int64)
   path = str(tmp_path / "iv3.npz")
   np.savez(path, **sd)
 
@@ -291,3 +299,12 @@ def test_inception_weight_loader_contract(tmp_path):
       sd["Mixed_7c.branch_pool.bn.running_var"])
   np.testing.assert_array_equal(
       np.asarray(loaded["params"]["fc"]["kernel"]), sd["fc.weight"].T)
+
+  # Completeness guard: an npz with a missing leaf must refuse to load
+  # (a silently-random fc would score garbage while reporting verified —
+  # SURVEY.md §7 hard-part #5).
+  partial = {k: v for k, v in sd.items() if k != "fc.weight"}
+  ppath = str(tmp_path / "iv3_partial.npz")
+  np.savez(ppath, **partial)
+  with pytest.raises(KeyError, match="unloaded"):
+    inception_v3.load_npz_params(ppath)

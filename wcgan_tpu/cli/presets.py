@@ -80,6 +80,17 @@ PRESETS: Dict[str, List[str]] = {
     # 5 — "Large-batch conditional cWC ImageNet 64x64, data-parallel over
     #     pod slice with cross-replica whitening stats". --mesh N shards
     #     the global batch over N chips; whitening moments all-reduce.
+    #     Coloring: cWC realized with the -sa (shared-basis) conditional
+    #     parameterization, a MEASURED decision (late r3): plain ucconv's
+    #     full per-class filters at 1000 classes are 1000*C*C per
+    #     conditional layer => 970M G params = 3.9 GB f32 (~12 GB with
+    #     Adam moments — per-chip infeasible at paper widths; a 25-min
+    #     on-chip bench attempt did not complete), which is exactly why
+    #     the paper uses soft assignment at ImageNet scale (§4.1).
+    #     BASELINE.json's "conditional cWC" is read as the umbrella term,
+    #     with config 4 naming the -sa variant explicitly at a scale
+    #     where both are feasible. `--generator_block_coloring ucconv`
+    #     remains one flag away (SURVEY.md §8 re-verification).
     "imagenet64_cwc_dp": [
         "--dataset", "imagenet64", "--arch", "res", "--loss", "hinge",
         "--gan_type", "PROJECTIVE", "--conditional",

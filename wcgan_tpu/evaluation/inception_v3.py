@@ -217,6 +217,8 @@ def load_npz_params(path: str):
   params = jax.tree_util.tree_map(np.asarray, variables["params"])
   stats = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
 
+  written = set()
+
   def put(tree, path_parts, value):
     node = tree
     for p in path_parts[:-1]:
@@ -225,9 +227,18 @@ def load_npz_params(path: str):
     if expect.shape != value.shape:
       raise ValueError(f"{path_parts}: {value.shape} != {expect.shape}")
     node[path_parts[-1]] = value.astype(expect.dtype)
+    written.add((id(tree),) + tuple(path_parts))
 
   for key, val in loaded.items():
     parts = key.split(".")
+    # AuxLogits / bookkeeping keys FIRST: a pretrained torchvision
+    # state_dict always contains AuxLogits.*.conv.weight etc., which
+    # would otherwise match the conv/bn branches below and KeyError into
+    # the (AuxLogits-free) flax tree — the skip was unreachable for them
+    # (evaluation review r3; the unit test's synthetic npz has no
+    # AuxLogits keys, so only a real-weights load hit this).
+    if "num_batches_tracked" in key or parts[0] == "AuxLogits":
+      continue
     if parts[-2:] == ["conv", "weight"]:
       put(params, parts[:-1] + ["kernel"], val.transpose(2, 3, 1, 0))
     elif parts[-2:] == ["bn", "weight"]:
@@ -242,8 +253,23 @@ def load_npz_params(path: str):
       put(params, ["fc", "kernel"], val.T)
     elif parts == ["fc", "bias"]:
       put(params, ["fc", "bias"], val)
-    elif "num_batches_tracked" in key or parts[0] == "AuxLogits":
-      continue
     else:
       raise KeyError(f"unrecognized weight key {key}")
+
+  # Completeness: every leaf of the flax tree must have been overwritten.
+  # A partial npz (truncated save, filtered state_dict) silently keeping
+  # random-init leaves would produce garbage scores NOT prefixed
+  # 'unverified_' — the exact silent substitution SURVEY.md §7 hard-part
+  # #5 forbids.
+  missing = []
+  for name, tree in (("params", params), ("batch_stats", stats)):
+    for kp, _ in jax.tree_util.tree_flatten_with_path(tree)[0]:
+      pp = (id(tree),) + tuple(
+          getattr(k, "key", getattr(k, "name", str(k))) for k in kp)
+      if pp not in written:
+        missing.append(name + "/" + "/".join(map(str, pp[1:])))
+  if missing:
+    raise KeyError(
+        f"npz {path} left {len(missing)} model leaves unloaded "
+        f"(e.g. {missing[:3]}); refusing a partially-random network")
   return model, {"params": params, "batch_stats": stats}

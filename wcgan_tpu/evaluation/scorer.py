@@ -30,7 +30,7 @@ def _activations(apply_fn, images_u8: np.ndarray, batch: int,
   """Run the feature net in minibatches; fetch ONLY the requested
   outputs. IS needs the class probabilities and FID needs the pool
   features — fetching both for every batch doubled host<->device
-  transfer in 50k-sample runs (pool 2048-d + probs 1008-d per image,
+  transfer in 50k-sample runs (pool 2048-d + probs 1000-d per image,
   f32, through the single-tenant tunnel); the unfetched device buffer
   is simply dropped. ``pool_rows`` caps the pool fetch to the first N
   rows (the scorer piggybacks FID's pool features on the IS pass)."""
@@ -135,6 +135,13 @@ def make_scorer(dataset, compute_is: bool = True, compute_fid: bool = True,
       t0 = time.perf_counter()
       if "real_moments" not in cache:
         real = dataset.real_sample(samples_fid)
+        if real.shape[0] != samples_fid:
+          # real_sample clamps to the dataset size; a quiet mismatch
+          # would sample-count-bias the FID while the log still claims
+          # samples_fid real rows.
+          log(f"scorer: WARNING dataset has only {real.shape[0]} real "
+              f"images (< samples_fid {samples_fid}); FID real moments "
+              f"use {real.shape[0]} rows")
         pool_r, _ = _activations(apply_fn, real, batch,
                                  want_probs=False)
         cache["real_moments"] = metrics.moments_from_activations(
