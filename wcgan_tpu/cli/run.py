@@ -275,6 +275,7 @@ def build_experiment(args) -> Trainer:
       filters_emb=args.filters_emb,
       projection=args.gan_type == "PROJECTIVE",
       ac_gan=args.gan_type == "AC_GAN", ns_iters=args.ns_iters,
+      ns_method=args.whitening_method,
       axis_name=axis_name, dtype=dtype, remat=args.remat)
 
   gan_cfg = GANConfig(

@@ -22,6 +22,20 @@ from flax import linen as nn
 from wcgan_tpu.models import layers as L
 
 
+def _disc_conv(block, features, kernel, name, strides=None):
+  """THE spectral/plain conv switch for discriminator blocks — one
+  definition for DiscResBlock, DiscOptimizedBlock, and DCGANDiscBlock
+  (three hand-synced copies previously; models review r3)."""
+  kw = dict(features=features, kernel_size=kernel, padding="SAME",
+            name=name)
+  if strides is not None:
+    kw["strides"] = strides
+  if block.spectral:
+    return L.SNConv(sn_iters=block.sn_iters, fully_diff=block.fully_diff,
+                    conv_singular=block.conv_singular, **kw)
+  return L.Conv(**kw)
+
+
 class GenResBlock(nn.Module):
   """Generator residual block: norm→color→ReLU→(up)→conv ×2 + shortcut.
 
@@ -63,7 +77,11 @@ class GenResBlock(nn.Module):
     sc = x
     if self.upsample:
       sc = L.upsample_nearest(sc)
-    if sc.shape[-1] != self.filters:
+    if self.upsample or sc.shape[-1] != self.filters:
+      # SN-GAN/reference convention: learned 1x1 shortcut whenever the
+      # block RESAMPLES or changes channels (mirrors DiscResBlock below;
+      # equal-channel upsampling blocks previously skipped it — a parity
+      # deviation at the headline CIFAR widths, models review r3).
       sc = nn.Conv(self.filters, (1, 1), padding="SAME",
                    dtype=self.dtype, name="conv_sc")(sc)
     return h + sc
@@ -87,15 +105,11 @@ class DiscResBlock(nn.Module):
   num_classes: int = 0
   filters_emb: int = 10
   ns_iters: int = 15
+  ns_method: str = "newton_schulz"
   axis_name: Optional[str] = None
 
   def _conv(self, features, kernel, name):
-    if self.spectral:
-      return L.SNConv(features=features, kernel_size=kernel, padding="SAME",
-                      sn_iters=self.sn_iters, fully_diff=self.fully_diff,
-                      conv_singular=self.conv_singular, name=name)
-    return L.Conv(features=features, kernel_size=kernel, padding="SAME",
-                  name=name)
+    return _disc_conv(self, features, kernel, name)
 
   @nn.compact
   def __call__(self, x: jax.Array, labels: Optional[jax.Array] = None,
@@ -104,7 +118,8 @@ class DiscResBlock(nn.Module):
       return L.NormColor(
           norm=self.norm, coloring=self.coloring,
           num_classes=self.num_classes, filters_emb=self.filters_emb,
-          ns_iters=self.ns_iters, axis_name=self.axis_name, name=name)
+          ns_iters=self.ns_iters, method=self.ns_method,
+          axis_name=self.axis_name, name=name)
 
     h = x
     if self.norm != "n" or self.coloring != "n":
@@ -139,12 +154,7 @@ class DiscOptimizedBlock(nn.Module):
   conv_singular: bool = False
 
   def _conv(self, features, kernel, name):
-    if self.spectral:
-      return L.SNConv(features=features, kernel_size=kernel, padding="SAME",
-                      sn_iters=self.sn_iters, fully_diff=self.fully_diff,
-                      conv_singular=self.conv_singular, name=name)
-    return L.Conv(features=features, kernel_size=kernel, padding="SAME",
-                  name=name)
+    return _disc_conv(self, features, kernel, name)
 
   @nn.compact
   def __call__(self, x: jax.Array, update_sn: bool = False) -> jax.Array:
@@ -196,13 +206,6 @@ class DCGANDiscBlock(nn.Module):
 
   @nn.compact
   def __call__(self, x: jax.Array, update_sn: bool = False) -> jax.Array:
-    if self.spectral:
-      h = L.SNConv(features=self.filters, kernel_size=(4, 4),
-                   strides=(2, 2), padding="SAME", sn_iters=self.sn_iters,
-                   fully_diff=self.fully_diff,
-                   conv_singular=self.conv_singular,
-                   name="conv")(x, update_sn=update_sn)
-    else:
-      h = L.Conv(features=self.filters, kernel_size=(4, 4), strides=(2, 2),
-                 padding="SAME", name="conv")(x)
+    h = _disc_conv(self, self.filters, (4, 4), "conv",
+                   strides=(2, 2))(x, update_sn=update_sn)
     return nn.leaky_relu(h, negative_slope=0.1)

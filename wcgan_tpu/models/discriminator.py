@@ -42,6 +42,7 @@ class DiscriminatorConfig:
   projection: bool = False             # projection-D (PROJECTIVE gan type)
   ac_gan: bool = False                 # AC-GAN aux classifier head
   ns_iters: int = 15
+  ns_method: str = "newton_schulz"     # --whitening_method [U]
   axis_name: Optional[str] = None
   dtype: str = "float32"
   remat: bool = False
@@ -49,6 +50,19 @@ class DiscriminatorConfig:
   def __post_init__(self):
     if len(self.downsample) != len(self.filters):
       raise ValueError("downsample and filters must align per block")
+    if self.arch == "res" and self.downsample and not self.downsample[0]:
+      # Block 0 is the SN-GAN optimized block, which ALWAYS downsamples;
+      # honoring downsample[0]=False silently was impossible, so reject
+      # it loudly (models review r3).
+      raise ValueError("downsample[0] must be True: the first res block "
+                       "(optimized block) always downsamples")
+    if self.arch == "dcgan" and (self.norm != "n" or self.coloring != "n"
+                                 or self.remat):
+      # The DCGAN D path has no norm/coloring/remat insertion points
+      # (stride-2 SN convs + LeakyReLU only, per the reference arch [U]);
+      # dropping the request silently would record the wrong experiment.
+      raise ValueError("discriminator norm/coloring/remat are not "
+                       "supported for the dcgan arch")
 
 
 class Discriminator(nn.Module):
@@ -83,6 +97,7 @@ class Discriminator(nn.Module):
             filters=f, downsample=down, norm=cfg.norm,
             coloring=cfg.coloring, num_classes=cfg.num_classes,
             filters_emb=cfg.filters_emb, ns_iters=cfg.ns_iters,
+            ns_method=cfg.ns_method,
             axis_name=cfg.axis_name, **sn_kwargs,
             name=f"block{i}")(h, labels, train, update_sn)
       h = nn.relu(h)

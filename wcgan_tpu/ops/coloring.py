@@ -54,6 +54,17 @@ def _cond_apply(x_nsc: jax.Array, g_img: jax.Array,
   return out + b_img.astype(out.dtype)[:, None, :]
 
 
+def _add_agnostic(out, x_nsc, gamma_a, beta_a):
+  """Sum the optional class-agnostic branch onto a conditional coloring —
+  the one definition of the combined-code tail (``ucconv``/``ucconv-sa``
+  [U]) shared by color_cond and color_cond_sa."""
+  if gamma_a is None:
+    return out
+  return out + color_uncond(
+      x_nsc, gamma_a,
+      beta_a if beta_a is not None else jnp.zeros(gamma_a.shape[0]))
+
+
 def color_cond(
     x_nsc: jax.Array,
     labels: jax.Array,
@@ -73,11 +84,7 @@ def color_cond(
       class branch (the reference's combined ``ucconv``-style codes [U]).
   """
   out = _cond_apply(x_nsc, gamma_c[labels], beta_c[labels])
-  if gamma_a is not None:
-    out = out + color_uncond(
-        x_nsc, gamma_a,
-        beta_a if beta_a is not None else jnp.zeros(gamma_a.shape[0]))
-  return out
+  return _add_agnostic(out, x_nsc, gamma_a, beta_a)
 
 
 def color_cond_sa(
@@ -104,11 +111,7 @@ def color_cond_sa(
   a = embedding[labels]                              # (N, K)
   g_img = jnp.einsum("nk,koc->noc", a, basis, precision=_HIGHEST)
   out = _cond_apply(x_nsc, g_img, beta_emb[labels])
-  if gamma_a is not None:
-    out = out + color_uncond(
-        x_nsc, gamma_a,
-        beta_a if beta_a is not None else jnp.zeros(gamma_a.shape[0]))
-  return out
+  return _add_agnostic(out, x_nsc, gamma_a, beta_a)
 
 
 def center_scale(x: jax.Array, gamma: jax.Array, beta: jax.Array) -> jax.Array:

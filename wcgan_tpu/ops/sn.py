@@ -48,6 +48,11 @@ def power_iteration(
     must be persisted by the caller (flax 'spectral' collection) — the
     reference updates it as a side effect of each training forward [U].
   """
+  if n_iters < 1:
+    # n_iters=0 would leave v at its zeros init => sigma=0 => kernel/0
+    # NaNs the whole discriminator on step 1 (models review r3).
+    raise ValueError("power_iteration needs n_iters >= 1 (v starts at "
+                     "zeros; 0 iterations would give sigma = 0)")
   w = w2d.astype(jnp.float32)
   u = u.astype(jnp.float32)
 
