@@ -298,3 +298,42 @@ def test_fused_wc_cond_matches_composition(code, hw):
     ref = ref + x3d  # identity skip of the pure-conditional codes
   np.testing.assert_allclose(np.asarray(out),
                              np.asarray(ref.reshape(x.shape)), atol=3e-4)
+
+
+def test_gen_resblock_equal_width_upsample_has_learned_shortcut():
+  """SN-GAN convention: the 1x1 shortcut conv exists whenever a res G
+  block upsamples, even at equal widths (the headline CIFAR config is
+  equal-width throughout; late-r3 parity fix)."""
+  g = Generator(cfg=tiny_gcfg(arch="res"))          # 16 -> 16 widths
+  z = jax.random.normal(KEY, (2, 16))
+  params = g.init(KEY, z, train=True)["params"]
+  for blk in ("block0", "block1"):
+    assert "conv_sc" in params[blk], f"{blk} missing learned shortcut"
+
+
+def test_discriminator_config_rejects_unsupported_combinations():
+  # dcgan D has no norm/coloring/remat insertion points.
+  for kw in ({"norm": "d"}, {"coloring": "uconv"}, {"remat": True}):
+    with pytest.raises(ValueError, match="dcgan"):
+      tiny_dcfg(arch="dcgan", filters=(16, 16), downsample=(True, True),
+                **kw)
+  # block 0 of the res D is the optimized block; it always downsamples.
+  with pytest.raises(ValueError, match="downsample"):
+    tiny_dcfg(downsample=(False, True, False))
+
+
+def test_ns_method_reaches_discriminator_whitening():
+  """--whitening_method must reach the D's NormColor: at ns_iters=1 the
+  (under-converged) Newton-Schulz output measurably differs from the
+  Cholesky oracle; identical outputs would mean the knob is dropped."""
+  x = jax.random.normal(KEY, (4, 16, 16, 3))
+  outs = {}
+  for method in ("newton_schulz", "cholesky"):
+    d = Discriminator(cfg=tiny_dcfg(norm="d", coloring="uconv",
+                                    ns_iters=1, ns_method=method))
+    variables = d.init(KEY, x, train=True)
+    (score, _), _ = d.apply(variables, x, train=True,
+                            mutable=["spectral", "wc_stats"])
+    outs[method] = np.asarray(score)
+  assert not np.allclose(outs["newton_schulz"], outs["cholesky"],
+                         atol=1e-6)

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from wcgan_tpu.ops import sn
 
@@ -79,3 +80,10 @@ def test_conv_power_iteration_vs_dense_operator(rng):
   true_sigma = np.linalg.svd(mat, compute_uv=False)[0]
   np.testing.assert_allclose(float(sigma), true_sigma, rtol=1e-2)
   assert u_map2.shape == u_map.shape
+
+
+def test_power_iteration_rejects_zero_iters():
+  """n_iters=0 would return sigma=0 from the zeros-init v and NaN the
+  normalized kernel on step 1; the guard makes it loud (late r3)."""
+  with pytest.raises(ValueError, match="n_iters"):
+    sn.power_iteration(jnp.eye(4), jnp.zeros((4,)), n_iters=0)
