@@ -231,3 +231,17 @@ def test_generate_uses_one_static_shape(tmp_path):
   imgs = trainer.generate(10, batch=4)
   assert imgs.shape[0] == 10
   assert set(shapes) == {(4, trainer.gan_cfg.z_dim)}
+
+
+def test_whitening_method_threads_into_both_models(tmp_path):
+  """--whitening_method must reach BOTH model configs (the D-side
+  threading was missing until late r3; the CLI silently ran D whitening
+  with newton_schulz regardless of the flag)."""
+  from wcgan_tpu.cli.run import build_parser, build_experiment
+  argv = TINY + ["--output_dir", str(tmp_path / "o"),
+                 "--checkpoints_dir", str(tmp_path / "c"),
+                 "--number_of_epochs", "1", "--name", "wm",
+                 "--whitening_method", "cholesky"]
+  trainer = build_experiment(build_parser().parse_args(argv))
+  assert trainer.g.cfg.ns_method == "cholesky"
+  assert trainer.d.cfg.ns_method == "cholesky"
