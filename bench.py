@@ -34,7 +34,8 @@ CPU_TO_V100_PEAK_FLOPS = 117.0       # documented scaling factor
 BASELINE_IMGS_PER_SEC = TF_PROXY_CPU_IMGS_PER_SEC * CPU_TO_V100_PEAK_FLOPS
 
 
-def _run_with_retries(attempts: int = 3, timeout_s: int = 900) -> int:
+def _run_with_retries(attempts: int = 3, timeout_s: int = 900,
+                      cmd=None, sleep_s: int = 330) -> int:
   """Run the measurement in a watchdogged subprocess, retrying on wedge.
 
   The single-tenant TPU tunnel on this box intermittently wedges a NEW
@@ -50,12 +51,13 @@ def _run_with_retries(attempts: int = 3, timeout_s: int = 900) -> int:
   import subprocess
   import time as _time
   env = dict(os.environ, WCGAN_BENCH_INNER="1")
+  if cmd is None:  # tests inject a tunnel-free inner command
+    cmd = [sys.executable, "-u", os.path.abspath(__file__)] + sys.argv[1:]
   last_err = ""
   for attempt in range(attempts):
     try:
       proc = subprocess.run(
-          [sys.executable, "-u", os.path.abspath(__file__)] + sys.argv[1:],
-          env=env, capture_output=True, text=True, timeout=timeout_s)
+          cmd, env=env, capture_output=True, text=True, timeout=timeout_s)
     except subprocess.TimeoutExpired:
       last_err = f"attempt {attempt + 1}: wedged (no output in {timeout_s}s)"
       print(last_err, file=sys.stderr, flush=True)
@@ -63,7 +65,7 @@ def _run_with_retries(attempts: int = 3, timeout_s: int = 900) -> int:
         # CLAUDE.md: recovery needs a FULL quiet period of >=5 min —
         # retrying earlier re-poisons the relay (measured r3). No sleep
         # after the final attempt: nothing retries, report immediately.
-        _time.sleep(330)
+        _time.sleep(sleep_s)
       continue
     for line in reversed(proc.stdout.splitlines()):
       if line.startswith("{"):
@@ -76,6 +78,15 @@ def _run_with_retries(attempts: int = 3, timeout_s: int = 900) -> int:
       _time.sleep(60)
   print(f"bench failed after {attempts} attempts: {last_err}",
         file=sys.stderr)
+  # Keep the one-JSON-line contract even on total failure so the driver
+  # always parses SOMETHING honest. value=0 cannot be mistaken for a
+  # measurement; the relay outage seen end-r3 persisted for hours
+  # (CLAUDE.md), so all attempts wedging is a real possibility.
+  print(json.dumps(dict(
+      metric="imgs/sec/chip, fused G+D outer step, CIFAR-10 WC-ResNet "
+             "(batch 64, D:G 5:1, bfloat16)",
+      value=0.0, unit="imgs/sec/chip", vs_baseline=0.0,
+      error=f"no measurement: {last_err}")))
   return 1
 
 
