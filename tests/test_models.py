@@ -37,9 +37,10 @@ def test_generator_output_shape_and_range(arch):
 
 
 @pytest.mark.parametrize("arch", ["res", "dcgan"])
-def test_discriminator_shapes(arch):
-  dcfg = (tiny_dcfg(arch=arch) if arch == "res"
-          else tiny_dcfg(arch=arch, filters=(16, 16),
+@pytest.mark.parametrize("spectral", [True, False])
+def test_discriminator_shapes(arch, spectral):
+  dcfg = (tiny_dcfg(arch=arch, spectral=spectral) if arch == "res"
+          else tiny_dcfg(arch=arch, spectral=spectral, filters=(16, 16),
                          downsample=(True, True)))
   d = Discriminator(cfg=dcfg)
   x = jax.random.normal(KEY, (4, 16, 16, 3))
