@@ -245,3 +245,27 @@ def test_whitening_method_threads_into_both_models(tmp_path):
   trainer = build_experiment(build_parser().parse_args(argv))
   assert trainer.g.cfg.ns_method == "cholesky"
   assert trainer.d.cfg.ns_method == "cholesky"
+
+
+def test_same_args_same_seed_bitexact(tmp_path):
+  """Two fresh runs with identical args must produce bit-identical
+  generator params — guards CLI-level seeding (init, data shuffle,
+  z draws, flips) against nondeterministic host RNG sneaking in.
+  Complements the resume bit-exactness test (same step fn, different
+  entry path)."""
+  import jax
+  import numpy as np
+  from wcgan_tpu.cli.run import build_parser, build_experiment
+
+  def run(tag):
+    argv = TINY + ["--output_dir", str(tmp_path / tag / "o"),
+                   "--checkpoints_dir", str(tmp_path / tag / "c"),
+                   "--number_of_epochs", "1", "--name", tag,
+                   "--checkpoint_ratio", "0", "--display_ratio", "0"]
+    trainer = build_experiment(build_parser().parse_args(argv))
+    trainer.train()
+    return jax.tree_util.tree_map(np.asarray, trainer.state.g_params)
+
+  a, b = run("deta"), run("detb")
+  jax.tree_util.tree_map(
+      lambda x, y: np.testing.assert_array_equal(x, y), a, b)
