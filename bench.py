@@ -82,9 +82,10 @@ def _run_with_retries(attempts: int = 3, timeout_s: int = 900,
   # always parses SOMETHING honest. value=0 cannot be mistaken for a
   # measurement; the relay outage seen end-r3 persisted for hours
   # (CLAUDE.md), so all attempts wedging is a real possibility.
+  dtype = "float32" if "--f32" in sys.argv else "bfloat16"
   print(json.dumps(dict(
       metric="imgs/sec/chip, fused G+D outer step, CIFAR-10 WC-ResNet "
-             "(batch 64, D:G 5:1, bfloat16)",
+             f"(batch 64, D:G 5:1, {dtype})",
       value=0.0, unit="imgs/sec/chip", vs_baseline=0.0,
       error=f"no measurement: {last_err}")))
   return 1

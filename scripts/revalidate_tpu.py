@@ -68,16 +68,29 @@ def main() -> int:
     print(json.dumps(dict(ok=False, stage="probe", **summary)))
     return 1
 
-  # bench.py is self-armored (watchdog + retries, worst case ~60 min).
-  summary["bench"] = _run([py, "bench.py"], 4200)
-  summary["mfu"] = _run([py, "scripts/mfu.py"], 1500)
+  # Each TPU stage runs ONLY if the previous one succeeded: a failed or
+  # watchdog-killed stage means the relay needs a full quiet period
+  # (CLAUDE.md), and launching the next stage immediately would
+  # re-poison it — abort and report instead (review r3).
+  stages = [("bench", [py, "bench.py"], 4200, {}),
+            ("mfu", [py, "scripts/mfu.py"], 1500, {})]
   if not a.skip_tests:
-    summary["tpu_tests"] = _run(
-        [py, "-m", "pytest", "tests/test_tpu.py", "-m", "tpu", "-q"],
-        1800, WCGAN_TEST_TPU="1")
-  ok = all(s.get("rc") == 0 for s in summary.values())
-  print(json.dumps(dict(ok=ok, **summary)))
-  return 0 if ok else 1
+    stages.append(("tpu_tests",
+                   [py, "-m", "pytest", "tests/test_tpu.py", "-m", "tpu",
+                    "-q"], 1800, {"WCGAN_TEST_TPU": "1"}))
+  for i, (name, cmd, timeout_s, env_extra) in enumerate(stages):
+    summary[name] = _run(cmd, timeout_s, **env_extra)
+    if summary[name].get("rc") != 0:
+      remaining = [s[0] for s in stages[i + 1:]]
+      print(json.dumps(dict(
+          ok=False, stage=name,
+          aborted=remaining,
+          note="stage failed; remaining TPU stages skipped — give the "
+               "relay a >=5-min full quiet period before retrying",
+          **summary)))
+      return 1
+  print(json.dumps(dict(ok=True, **summary)))
+  return 0
 
 
 if __name__ == "__main__":

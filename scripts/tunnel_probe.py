@@ -10,11 +10,16 @@ seconds by running ``jax.devices()`` in a watchdogged subprocess.
 
     python scripts/tunnel_probe.py [--timeout 180]
 
-Prints {"tunnel": "ok", "devices": [...], "seconds": t} or
-{"tunnel": "wedged", "seconds": timeout}. Exit 0 iff ok. Safe to kill:
-a parked probe never established the relay connection (measured end-r3
-— no TCP to the relay port while parked), so killing it does not
-re-poison the relay the way killing a mid-RPC training process does.
+Prints {"tunnel": "ok", "platform": p, "devices": d, "seconds": t} or
+{"tunnel": "wedged", "seconds": timeout}. Exit 0 iff ok — and "ok"
+requires the platform to actually be the tunnel (tpu/axon), so a silent
+CPU fallback reads as an error, not a live tunnel (review r3).
+
+Kill semantics: a PARKED probe holds no relay connection (measured
+end-r3), so stopping it is safe. To also cover the slow-but-live case
+(where a hard kill IS a mid-RPC kill that re-poisons the relay), the
+watchdog sends SIGTERM first and escalates to SIGKILL only after a
+grace period — the client gets to close its connection (review r3).
 """
 
 from __future__ import annotations
@@ -26,11 +31,14 @@ import subprocess
 import sys
 import time
 
-_INNER = "import jax; {pin}print([str(d) for d in jax.devices()])"
+_INNER = ("import jax; {pin}ds = jax.devices(); "
+          "print(ds[0].platform + '|' + ','.join(str(d) for d in ds))")
 # JAX_PLATFORMS=cpu in the env does NOT bypass the tunnel here (the
 # startup hook registers it first — measured; CLAUDE.md): only the
 # in-process config API pins reliably.
 _CPU_PIN = "jax.config.update('jax_platforms', 'cpu'); "
+_TUNNEL_PLATFORMS = ("tpu", "axon")   # matches tests/test_tpu.py's gate
+_GRACE_S = 10
 
 
 def main() -> int:
@@ -40,22 +48,32 @@ def main() -> int:
                  help="probe the CPU backend instead (self-test)")
   a = p.parse_args()
   t0 = time.perf_counter()
+  inner = _INNER.format(pin=_CPU_PIN if a.cpu else "")
+  proc = subprocess.Popen([sys.executable, "-c", inner],
+                          stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                          text=True, env=dict(os.environ))
   try:
-    inner = _INNER.format(pin=_CPU_PIN if a.cpu else "")
-    proc = subprocess.run([sys.executable, "-c", inner],
-                          capture_output=True, text=True,
-                          timeout=a.timeout, env=dict(os.environ))
+    stdout, stderr = proc.communicate(timeout=a.timeout)
   except subprocess.TimeoutExpired:
+    proc.terminate()                      # SIGTERM: close cleanly if live
+    try:
+      stdout, stderr = proc.communicate(timeout=_GRACE_S)
+    except subprocess.TimeoutExpired:     # parked => holds no connection
+      proc.kill()
+      proc.communicate()
     print(json.dumps({"tunnel": "wedged",
                       "seconds": round(time.perf_counter() - t0, 1)}))
     return 1
-  out = proc.stdout.strip().splitlines()
-  ok = (proc.returncode == 0 and bool(out)
-        and out[-1].startswith("["))  # the devices list printed
+  out = stdout.strip().splitlines()
+  platform, devices = "", ""
+  if out and "|" in out[-1]:
+    platform, devices = out[-1].split("|", 1)
+  want = ("cpu",) if a.cpu else _TUNNEL_PLATFORMS
+  ok = proc.returncode == 0 and platform in want
   print(json.dumps({
       "tunnel": "ok" if ok else "error",
-      "devices": out[-1] if out else "",
-      "stderr_tail": proc.stderr[-200:] if not ok else "",
+      "platform": platform, "devices": devices,
+      "stderr_tail": stderr[-200:] if not ok else "",
       "seconds": round(time.perf_counter() - t0, 1)}))
   return 0 if ok else 1
 

@@ -269,3 +269,29 @@ def test_same_args_same_seed_bitexact(tmp_path):
   a, b = run("deta"), run("detb")
   jax.tree_util.tree_map(
       lambda x, y: np.testing.assert_array_equal(x, y), a, b)
+
+
+def test_cli_single_block_res_discriminator_builds(tmp_path):
+  """Review r3: a len-1 --discriminator_filters on the res arch derived
+  downsample=(False,) and tripped the optimized-block validation; the
+  CLI must force downsample[0]=True (block 0 always downsamples)."""
+  from wcgan_tpu.cli.run import build_parser, build_experiment
+  argv = TINY + ["--arch", "res", "--discriminator_filters", "16",
+                 "--generator_filters", "16,16",
+                 "--output_dir", str(tmp_path / "o"),
+                 "--checkpoints_dir", str(tmp_path / "c"),
+                 "--number_of_epochs", "1", "--name", "d1"]
+  trainer = build_experiment(build_parser().parse_args(argv))
+  assert trainer.d.cfg.downsample == (True,)
+
+
+def test_cli_dcgan_remat_builds(tmp_path):
+  """Review r3: --arch dcgan --remat must keep working (remat applies to
+  the generator; the dcgan D has nothing to rematerialize)."""
+  from wcgan_tpu.cli.run import build_parser, build_experiment
+  argv = TINY + ["--remat",
+                 "--output_dir", str(tmp_path / "o"),
+                 "--checkpoints_dir", str(tmp_path / "c"),
+                 "--number_of_epochs", "1", "--name", "dr"]
+  trainer = build_experiment(build_parser().parse_args(argv))
+  assert trainer.g.cfg.remat

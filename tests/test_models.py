@@ -313,11 +313,15 @@ def test_gen_resblock_equal_width_upsample_has_learned_shortcut():
 
 
 def test_discriminator_config_rejects_unsupported_combinations():
-  # dcgan D has no norm/coloring/remat insertion points.
-  for kw in ({"norm": "d"}, {"coloring": "uconv"}, {"remat": True}):
+  # dcgan D has no norm/coloring insertion points.
+  for kw in ({"norm": "d"}, {"coloring": "uconv"}):
     with pytest.raises(ValueError, match="dcgan"):
       tiny_dcfg(arch="dcgan", filters=(16, 16), downsample=(True, True),
                 **kw)
+  # remat stays ACCEPTED for dcgan (numerics-neutral no-op; the CLI
+  # shares one --remat flag with the generator — review r3).
+  tiny_dcfg(arch="dcgan", filters=(16, 16), downsample=(True, True),
+            remat=True)
   # block 0 of the res D is the optimized block; it always downsamples.
   with pytest.raises(ValueError, match="downsample"):
     tiny_dcfg(downsample=(False, True, False))

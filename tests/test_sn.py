@@ -87,3 +87,9 @@ def test_power_iteration_rejects_zero_iters():
   normalized kernel on step 1; the guard makes it loud (late r3)."""
   with pytest.raises(ValueError, match="n_iters"):
     sn.power_iteration(jnp.eye(4), jnp.zeros((4,)), n_iters=0)
+
+
+def test_conv_power_iteration_rejects_zero_iters():
+  with pytest.raises(ValueError, match="n_iters"):
+    sn.conv_power_iteration(jnp.zeros((3, 3, 2, 4)),
+                            jnp.zeros((1, 8, 8, 2)), n_iters=0)

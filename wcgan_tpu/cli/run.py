@@ -264,6 +264,11 @@ def build_experiment(args) -> Trainer:
     d_filters, d_down = d_presets(args.arch, res)
   else:
     d_down = tuple([True] * (len(d_filters) - 1) + [False])
+    if args.arch == "res":
+      # Block 0 is the optimized block and ALWAYS downsamples; a len-1
+      # custom --discriminator_filters would otherwise derive (False,)
+      # and trip the config validation (review r3).
+      d_down = (True,) + d_down[1:]
   dcfg = DiscriminatorConfig(
       arch=args.arch, resolution=res, input_channels=ds.channels,
       filters=tuple(d_filters), downsample=tuple(d_down),

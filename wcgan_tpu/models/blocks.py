@@ -40,7 +40,9 @@ class GenResBlock(nn.Module):
   """Generator residual block: norm→color→ReLU→(up)→conv ×2 + shortcut.
 
   Reference: ``blocks.py::resblock(resample="UP") `` [U]. The shortcut is
-  upsampled and passed through a learned 1×1 conv when shape changes."""
+  upsampled, and passed through a learned 1×1 conv whenever the block
+  upsamples OR changes channels (SN-GAN convention — so every upsampling
+  block has ``conv_sc``, including equal-width ones)."""
 
   filters: int
   upsample: bool = True

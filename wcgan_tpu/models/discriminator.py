@@ -56,13 +56,17 @@ class DiscriminatorConfig:
       # it loudly (models review r3).
       raise ValueError("downsample[0] must be True: the first res block "
                        "(optimized block) always downsamples")
-    if self.arch == "dcgan" and (self.norm != "n" or self.coloring != "n"
-                                 or self.remat):
-      # The DCGAN D path has no norm/coloring/remat insertion points
-      # (stride-2 SN convs + LeakyReLU only, per the reference arch [U]);
-      # dropping the request silently would record the wrong experiment.
-      raise ValueError("discriminator norm/coloring/remat are not "
-                       "supported for the dcgan arch")
+    if self.arch == "dcgan" and (self.norm != "n" or self.coloring != "n"):
+      # The DCGAN D path has no norm/coloring insertion points (stride-2
+      # SN convs + LeakyReLU only, per the reference arch [U]); dropping
+      # the request silently would record the wrong experiment. ``remat``
+      # is deliberately NOT rejected: it is a numerics-neutral memory
+      # knob, and the CLI shares one --remat flag with the generator
+      # (which supports it for both archs) — rejecting it here broke
+      # ``--arch dcgan --remat`` (review r3). The dcgan D simply has
+      # nothing to rematerialize; the flag is a no-op for it.
+      raise ValueError("discriminator norm/coloring are not supported "
+                       "for the dcgan arch")
 
 
 class Discriminator(nn.Module):

@@ -112,6 +112,11 @@ def conv_power_iteration(
   (sigma, u_map_new). More faithful to the true operator norm than the
   reshaped-matrix bound; costs one extra conv pair per step.
   """
+  if n_iters < 1:
+    # Mirrors power_iteration's guard: with 0 iterations sigma is taken
+    # on the raw (unnormalized) u_map init, overestimating by ~||u_map||
+    # and silently deadening the discriminator (review r3).
+    raise ValueError("conv_power_iteration needs n_iters >= 1")
   k = kernel.astype(jnp.float32)
   dn = lax.conv_dimension_numbers(u_map.shape, k.shape,
                                   ("NHWC", "HWIO", "NHWC"))
