@@ -117,16 +117,22 @@ def test_constant_and_zero_inputs_stay_finite(rng):
     assert np.isfinite(np.asarray(out)).all()
 
 
-def test_cholesky_finite_on_negative_rounded_trace():
-  """Regression (core review r3): a covariance whose diagonal rounds
-  negative (near-constant features under MXU emulation) made the
-  Cholesky jitter negative -> non-SPD -> NaN; the oracle path must stay
-  finite like the NS path does."""
+def test_inv_sqrt_finite_on_negative_rounded_covariance():
+  """Regression (core review r3, twice): a covariance whose diagonal
+  rounds negative (near-constant features under MXU emulation) NaN'd
+  first the Cholesky oracle (fixed 89585a6) and then — caught by a
+  second review pass — the DEFAULT Newton–Schulz path, whose jitter
+  lacked the neg-diag compensation. BOTH methods must stay finite, on
+  the pure-negative and the mixed +/- diagonal shapes."""
   c = 8
-  for scale in (1e-12, 1e-9, 1e-7):
-    cov = jnp.asarray(-scale * np.eye(c, dtype=np.float32))
-    w = whiten.cholesky_inv_sqrt(cov)
-    assert np.isfinite(np.asarray(w)).all(), scale
+  mixed = np.eye(c, dtype=np.float32) * 1e-9
+  mixed[0, 0] = -5e-8
+  cases = [jnp.asarray(-s * np.eye(c, dtype=np.float32))
+           for s in (1e-12, 1e-9, 1e-7)] + [jnp.asarray(mixed)]
+  for cov in cases:
+    for method in ("cholesky", "newton_schulz"):
+      w = whiten.inv_sqrt(cov, method=method)
+      assert np.isfinite(np.asarray(w)).all(), (method, np.asarray(cov))
 
 
 def test_large_mean_cancellation_regime(rng):

@@ -60,7 +60,12 @@ def set_precision(name: str) -> None:
     raise ValueError(f"whitening precision must be 'highest' or 'high', "
                      f"got {name!r}")
   # The jitted wrappers in this module close over module state read at
-  # trace time; drop their caches so a mid-process switch retraces.
+  # trace time; drop their caches so a mid-process switch retraces
+  # DIRECT callers of these functions. It cannot reach consumers that
+  # traced them inline under an OUTER jit (the fused train step): those
+  # executables keep the old precision — hence the "set once at
+  # startup, before building any step function" contract above (the
+  # trainer/CLI honor it; review r3).
   for fn in (batch_moments, newton_schulz_inv_sqrt, newton_schulz_sqrt,
              inv_sqrt, whiten_apply, whiten_train, whiten_eval):
     if hasattr(fn, "clear_cache"):
@@ -122,23 +127,32 @@ def batch_moments(
   return mean, cov
 
 
-def _jittered_normalized(cov, eps):
-  """(cov + eps*mean_diag*I) / trace — scale-relative jitter + trace norm.
+def _spd_jitter(cov, eps):
+  """THE SPD-safety jitter, shared by the Newton–Schulz and Cholesky
+  paths (review r3: the 89585a6 fix originally landed on the oracle
+  only, leaving the DEFAULT NS path to NaN on the same inputs).
 
-  The jitter is *relative* to the mean diagonal (unlike the reference's
-  absolute epsilon) so conditioning is controlled uniformly regardless of
-  activation scale — important early in training when covariance magnitudes
-  swing by orders of magnitude.
-  """
+  eps*mean_diag: scale-RELATIVE conditioning jitter (unlike the
+  reference's absolute epsilon) so conditioning is controlled uniformly
+  regardless of activation scale. 2*neg_diag: compensates diagonals that
+  round NEGATIVE for near-constant features under MXU emulation
+  (measured at ~1e-9..1e-7; the 2x also dominates the off-diagonal junk
+  of the same magnitude). 1e-12: absolute floor so an all-zero
+  covariance (constant features) stays SPD. Zero-extra for healthy
+  covariances."""
+  c = cov.shape[-1]
+  mean_diag = jnp.maximum(jnp.trace(cov) / c, 0.0)
+  neg_diag = jnp.maximum(-jnp.min(jnp.diagonal(cov)), 0.0)
+  return eps * mean_diag + 2.0 * neg_diag + 1e-12
+
+
+def _jittered_normalized(cov, eps):
+  """(cov + jitter*I) / trace — SPD-safe jitter + trace normalization
+  (trace norm guarantees ||I - A|| < 1 so Newton–Schulz converges)."""
   cov = _f32(cov)
   c = cov.shape[-1]
   ident = jnp.eye(c, dtype=jnp.float32)
-  # Diagonal of the centered covariance is a sum of squares (>= 0 up to
-  # rounding); clamp anyway, and keep a small absolute floor so an all-zero
-  # covariance (constant features) stays SPD instead of NaN-ing the
-  # iteration.
-  mean_diag = jnp.maximum(jnp.trace(cov) / c, 0.0)
-  a = cov + (eps * mean_diag + 1e-12) * ident
+  a = cov + _spd_jitter(cov, eps) * ident
   trace = jnp.trace(a)
   a = a / trace
   return a, trace, ident
@@ -180,8 +194,10 @@ def newton_schulz_inv_sqrt(
   with no data-dependent control flow; replaces the reference's
   Cholesky + triangular solve (``DecorelationNormalization.call`` [U]).
 
-  The iteration operates on ``A = (cov + eps I) / tr`` (trace
-  normalization guarantees ||I - A|| < 1 so the iteration converges):
+  The iteration operates on ``A = (cov + jitter I) / tr`` where the
+  jitter is SCALE-RELATIVE — ``eps * mean_diag(cov)`` plus SPD-safety
+  terms (see ``_spd_jitter``), NOT the reference's absolute epsilon —
+  and trace normalization guarantees ||I - A|| < 1 so it converges:
     Y_0 = A, Z_0 = I
     T_k = (3 I - Z_k Y_k) / 2
     Y_{k+1} = Y_k T_k,  Z_{k+1} = T_k Z_k
@@ -227,16 +243,7 @@ def cholesky_inv_sqrt(cov: jax.Array, eps: float = 1e-5) -> jax.Array:
   cov = _f32(cov)
   c = cov.shape[-1]
   ident = jnp.eye(c, dtype=jnp.float32)
-  # Same clamp + absolute floor as _jittered_normalized — the trace can
-  # round negative for near-constant features under MXU emulation, and a
-  # negative jitter makes cov non-SPD => Cholesky NaN in the oracle
-  # path — plus a term that compensates the most-negative diagonal
-  # entry (2x: its magnitude bounds the rounding-junk scale, so this
-  # also dominates the off-diagonal junk). Zero for healthy covariances.
-  mean_diag = jnp.maximum(jnp.trace(cov) / c, 0.0)
-  neg_diag = jnp.maximum(-jnp.min(jnp.diagonal(cov)), 0.0)
-  jitter = eps * mean_diag + 2.0 * neg_diag + 1e-12
-  chol = jnp.linalg.cholesky(cov + jitter * ident)
+  chol = jnp.linalg.cholesky(cov + _spd_jitter(cov, eps) * ident)
   return lax.linalg.triangular_solve(
       chol, ident, left_side=True, lower=True)
 

@@ -146,8 +146,11 @@ def make_outer_step(
   d_loss_fn, g_loss_fn = loss_ops.get_losses(cfg.loss)
   axis = cfg.axis_name
   d_cfg = getattr(d_module, "cfg", None)
-  d_has_norm = d_cfg is not None and (d_cfg.norm != "n" or
-                                      d_cfg.coloring != "n")
+  # Only NORM codes carry batch-coupled statistics (whitening moments);
+  # coloring is per-sample (no batch stats — ops/coloring.py), so a
+  # coloring-only D keeps the concatenated real+fake hot path
+  # (review r3: gating on coloring too split the forward needlessly).
+  d_has_norm = d_cfg is not None and d_cfg.norm != "n"
   d_takes_labels = cfg.conditional and d_cfg is not None and (
       d_cfg.projection or d_cfg.ac_gan or d_cfg.num_classes > 0)
 
