@@ -83,6 +83,26 @@ def test_h5_checkpoint_loads_directly(rundirs, tmp_path):
                       "--generator_checkpoint", gh5]) == 0
 
 
+def test_checkpoint_missing_init_cli(rundirs, tmp_path):
+  """--checkpoint_missing init end-to-end: a weights file with one param
+  deleted (the ROADMAP #9 pre-conv_sc migration shape) loads through the
+  CLI, logging the kept-at-init key; the strict default still refuses."""
+  out, ckpt, argv = rundirs
+  gnpz = os.path.join(ckpt, "smoke", "epoch_1_generator.npz")
+  data = dict(np.load(gnpz))
+  removed = sorted(data)[0]
+  del data[removed]
+  broken = str(tmp_path / "missing_one.npz")
+  np.savez(broken, **data)
+  assert main(argv + ["--phase", "test",
+                      "--generator_checkpoint", broken,
+                      "--checkpoint_missing", "init"]) == 0
+  log = open(os.path.join(out, "smoke", "log.txt")).read()
+  assert "kept at init" in log and removed in log
+  with pytest.raises(KeyError, match="checkpoint_missing"):
+    main(argv + ["--phase", "test", "--generator_checkpoint", broken])
+
+
 def test_resume_auto_infers_start_epoch(tmp_path):
   """--resume auto without an explicit --start_epoch must continue the
   epoch schedule from the checkpoint, not relabel from 0 (and not train

@@ -66,3 +66,65 @@ def test_cli_loader_per_model_key_map(tmp_path):
   with pytest.raises(KeyError):  # D's section maps it elsewhere
     _load_weights_npz(params, str(npz), str(kmap),
                       model="discriminator")
+
+
+def test_shipped_wc_cond_fold_keymap_and_missing_init(tmp_path):
+  """Migration across the two documented checkpoint-tree breaks on a
+  REAL conditional param tree: the shipped
+  docs/keymaps/wc_cond_fold_pre_r2.json regex map must invert the r2
+  conditional-W-fold scope move (ROADMAP #8: coloring params lived under
+  color/), and --checkpoint_missing init must bridge the late-r3
+  conv_sc addition (ROADMAP #9: pre-fix exports have no shortcut conv).
+  Every surviving key loads bit-identically; conv_sc stays at init."""
+  import os
+
+  import jax
+  import jax.numpy as jnp
+
+  from wcgan_tpu.cli.run import _load_weights_npz
+  from wcgan_tpu.models.generator import Generator, GeneratorConfig
+
+  g = Generator(cfg=GeneratorConfig(
+      z_dim=8, resolution=16, base_resolution=4, filters=(8, 8),
+      block_norm="d", block_coloring="ucconv", last_norm="d",
+      last_coloring="ucconv", num_classes=3, ns_iters=4))
+  z = jax.random.normal(jax.random.PRNGKey(0), (6, 8))
+  y = jnp.arange(6, dtype=jnp.int32) % 3
+  params = g.init(jax.random.PRNGKey(1), z, y, train=True)["params"]
+  flat = {"/".join(map(str, k)): np.asarray(v) for k, v in
+          jax.tree_util.tree_flatten_with_path(params)[0]}
+
+  fold_names = ("gamma_a", "beta_a", "gamma_c", "beta_c", "basis",
+                "embedding")
+  pre, dropped = {}, []
+  for k, v in flat.items():
+    if "conv_sc" in k:
+      dropped.append(k)   # pre-shortcut-fix export: key absent
+      continue
+    scope, _, name = k.rpartition("/")
+    if name.strip("[]'") in fold_names:
+      # pre-fold export: color/ submodule scope (export_weights' flat
+      # keys are bracketed DictKey strings)
+      k = f"{scope}/['color']/{name}"
+    pre[k] = v + 1.0     # shift so a real load is distinct from init
+  assert dropped, "fixture lost its teeth: no conv_sc in the tree"
+  assert any("color" in k for k in pre)
+  npz = tmp_path / "pre_break.npz"
+  np.savez(npz, **pre)
+
+  kmap = os.path.join(os.path.dirname(__file__), os.pardir, "docs",
+                      "keymaps", "wc_cond_fold_pre_r2.json")
+  msgs = []
+  out = _load_weights_npz(params, str(npz), kmap, model="generator",
+                          missing="init", log=msgs.append)
+  out_flat = {"/".join(map(str, k)): np.asarray(v) for k, v in
+              jax.tree_util.tree_flatten_with_path(out)[0]}
+  for k, v in flat.items():
+    if k in dropped:
+      np.testing.assert_array_equal(out_flat[k], v)        # kept at init
+    else:
+      np.testing.assert_array_equal(out_flat[k], v + 1.0)  # loaded
+  assert any("kept at init" in m for m in msgs)
+  # Strict default refuses the same file, pointing at the flag.
+  with pytest.raises(KeyError, match="checkpoint_missing"):
+    _load_weights_npz(params, str(npz), kmap, model="generator")

@@ -71,7 +71,17 @@ def build_parser() -> argparse.ArgumentParser:
                       "{'generator': {...}, 'discriminator': {...}} "
                       "sections (Keras default layer names collide "
                       "between G and D). The standing hook for the "
-                      "reference's exact layer naming, SURVEY.md §8")
+                      "reference's exact layer naming, SURVEY.md §8. "
+                      "'re:<pattern>' sources are regex rename rules "
+                      "(shipped migration maps: docs/keymaps/)")
+  p.add_argument("--checkpoint_missing", default="error",
+                 choices=["error", "init"],
+                 help="params absent from a weights-only checkpoint: "
+                      "'error' (default, strict) or 'init' — keep the "
+                      "fresh initialization and list the kept keys. "
+                      "Migration across documented checkpoint-tree "
+                      "breaks (docs/ROADMAP.md #8/#9); the Keras "
+                      "load_weights(by_name=True) analogue [U]")
   p.add_argument("--resume", default=None,
                  help="'auto' = latest full-state checkpoint, or a path")
   p.add_argument("--phase", default="train", choices=["train", "test"])
@@ -345,7 +355,36 @@ def build_experiment(args) -> Trainer:
                  scorer=scorer)
 
 
-def _load_weights_npz(params, path, key_map_path=None, model=None):
+def _apply_key_map(loaded, key_map):
+  """Rename checkpoint keys per the --checkpoint_key_map table.
+
+  Exact entries ({src: dst}) win; entries whose source starts with
+  ``re:`` are ``re.sub`` rules applied in table order to every key
+  without an exact entry — the vehicle for mechanical tree migrations
+  where the affected keys depend on the model config (e.g. the r2
+  conditional-W-fold scope move, docs/keymaps/). Destination collisions
+  are loud: last-write-wins would be a silent wrong-weights load."""
+  if not key_map:
+    return loaded
+  import re
+  exact = {k: v for k, v in key_map.items() if not k.startswith("re:")}
+  regex = [(re.compile(k[3:]), v) for k, v in key_map.items()
+           if k.startswith("re:")]
+  renamed = {}
+  for k, v in loaded.items():
+    dst = exact.get(k)
+    if dst is None:
+      dst = k
+      for pat, repl in regex:
+        dst = pat.sub(repl, dst)
+    if dst in renamed:
+      raise ValueError(f"key_map collision on destination {dst!r}")
+    renamed[dst] = v
+  return renamed
+
+
+def _load_weights_npz(params, path, key_map_path=None, model=None,
+                      missing="error", log=None):
   """Load weights-only ``.npz`` (export_weights format) — or a Keras-style
   ``.h5``/``.hdf5``, flattened through ``tools/h5_convert.h5_flat`` with
   the optional ``--checkpoint_key_map`` rename table (reference
@@ -354,7 +393,15 @@ def _load_weights_npz(params, path, key_map_path=None, model=None):
   The key-map JSON is either one flat {src: dst} table applied to both
   models, or split per model: {"generator": {...}, "discriminator":
   {...}} — needed because reference Keras files use default layer names
-  that collide between G and D (``model`` selects the section)."""
+  that collide between G and D (``model`` selects the section). Sources
+  prefixed ``re:`` are regex rules (see :func:`_apply_key_map`).
+
+  ``missing='init'`` (--checkpoint_missing) keeps params absent from the
+  file at their fresh initialization instead of raising, loudly listing
+  both the kept-at-init params and any unused checkpoint keys — the
+  migration path across documented checkpoint-tree breaks
+  (docs/ROADMAP.md #8/#9) and the analogue of Keras
+  ``load_weights(by_name=True)`` partial loading [U]."""
   key_map = None
   if key_map_path:
     import json
@@ -364,28 +411,37 @@ def _load_weights_npz(params, path, key_map_path=None, model=None):
       key_map = key_map.get(model, {})
   if path.endswith((".h5", ".hdf5")):
     from wcgan_tpu.tools.h5_convert import h5_flat
-    loaded = h5_flat(path, key_map)
+    loaded = h5_flat(path)
   else:
     loaded = dict(np.load(path))
-    if key_map:
-      renamed = {}
-      for k, v in loaded.items():
-        dst = key_map.get(k, k)
-        if dst in renamed:
-          raise ValueError(f"key_map collision on destination {dst!r}")
-        renamed[dst] = v
-      loaded = renamed
+  loaded = _apply_key_map(loaded, key_map)
+
+  used, kept = set(), []
 
   def sub(keypath, leaf):
     key = "/".join(str(k) for k in keypath)
     if key not in loaded:
-      raise KeyError(f"checkpoint {path} missing {key}")
+      if missing == "init":
+        kept.append(key)
+        return leaf
+      raise KeyError(
+          f"checkpoint {path} missing {key} (pass --checkpoint_missing "
+          f"init to keep absent params at their initialization)")
+    used.add(key)
     arr = loaded[key]
     if arr.shape != leaf.shape:
       raise ValueError(f"{key}: shape {arr.shape} != {leaf.shape}")
     return arr.astype(leaf.dtype)
 
-  return jax.tree_util.tree_map_with_path(sub, params)
+  out = jax.tree_util.tree_map_with_path(sub, params)
+  if kept:
+    emit = log or print
+    emit(f"checkpoint_missing=init: {len(kept)} {model or 'model'} "
+         f"param(s) not in {path}, kept at init: {sorted(kept)}")
+    unused = sorted(set(loaded) - used)
+    if unused:
+      emit(f"  ({len(unused)} checkpoint key(s) unused: {unused})")
+  return out
 
 
 def main(argv=None) -> int:
@@ -437,13 +493,17 @@ def main(argv=None) -> int:
         g_params=_load_weights_npz(trainer.state.g_params,
                                    args.generator_checkpoint,
                                    args.checkpoint_key_map,
-                                   model="generator"))
+                                   model="generator",
+                                   missing=args.checkpoint_missing,
+                                   log=trainer.logger.line))
   if args.discriminator_checkpoint:
     trainer.state = trainer.state.replace(
         d_params=_load_weights_npz(trainer.state.d_params,
                                    args.discriminator_checkpoint,
                                    args.checkpoint_key_map,
-                                   model="discriminator"))
+                                   model="discriminator",
+                                   missing=args.checkpoint_missing,
+                                   log=trainer.logger.line))
 
   if args.phase == "test":
     path = trainer.save_sample_grid(args.start_epoch)
