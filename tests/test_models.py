@@ -342,3 +342,37 @@ def test_ns_method_reaches_discriminator_whitening():
     outs[method] = np.asarray(score)
   assert not np.allclose(outs["newton_schulz"], outs["cholesky"],
                          atol=1e-6)
+
+
+def test_lowered_conv_op_counts_match_architecture():
+  """Structural drift guard at the compiled-graph level: count the
+  convolution ops in the lowered HLO of the headline-architecture G/D
+  forwards. Parameter-tree tests pin what EXISTS; this pins what actually
+  RUNS — the class of bug where a branch silently skips a layer (the
+  late-r3 generator-shortcut parity bug would read 7 here, not 10).
+  Derivations, so the pins aren't magic:
+    G (res, 3 equal-width up blocks): 3 blocks x (conv1 + conv2 +
+      conv_sc on every upsampling block) + conv_out           = 10
+    D (res SN, filters x4, down on first two): optimized first block
+      (conv1+conv2+conv_sc) + block2 (conv1+conv2+conv_sc, downsample)
+      + 2 x (conv1+conv2, no resample/width change)           = 10
+  """
+  g = Generator(cfg=GeneratorConfig(z_dim=8, resolution=32,
+                                    base_resolution=4, filters=(8, 8, 8),
+                                    ns_iters=4))
+  z = jax.random.normal(KEY, (2, 8))
+  gv = g.init(KEY, z, train=True)
+  g_txt = jax.jit(
+      lambda v, z: g.apply(v, z, train=True, mutable=["wc_stats"])
+  ).lower(gv, z).as_text()
+  assert g_txt.count("stablehlo.convolution") == 10
+
+  d = Discriminator(cfg=DiscriminatorConfig(
+      resolution=32, filters=(8, 8, 8, 8),
+      downsample=(True, True, False, False)))
+  x = jnp.zeros((2, 32, 32, 3), jnp.float32)
+  dv = d.init(KEY, x, train=True)
+  d_txt = jax.jit(
+      lambda v, x: d.apply(v, x, train=True, mutable=["spectral"])
+  ).lower(dv, x).as_text()
+  assert d_txt.count("stablehlo.convolution") == 10
