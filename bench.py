@@ -54,6 +54,7 @@ def _run_with_retries(attempts: int = 3, timeout_s: int = 900,
   if cmd is None:  # tests inject a tunnel-free inner command
     cmd = [sys.executable, "-u", os.path.abspath(__file__)] + sys.argv[1:]
   last_err = ""
+  all_wedged = True
   for attempt in range(attempts):
     try:
       proc = subprocess.run(
@@ -71,6 +72,8 @@ def _run_with_retries(attempts: int = 3, timeout_s: int = 900,
       if line.startswith("{"):
         print(line)
         return 0
+    all_wedged = False   # the inner process RAN and failed — a code
+                         # fault, not the watchdog-timeout wedge signature
     last_err = (f"attempt {attempt + 1}: rc={proc.returncode}, no JSON; "
                 f"stderr tail: {proc.stderr[-500:]}")
     print(last_err, file=sys.stderr, flush=True)
@@ -83,16 +86,24 @@ def _run_with_retries(attempts: int = 3, timeout_s: int = 900,
   # measurement; the relay outage seen end-r3 persisted for hours
   # (CLAUDE.md), so all attempts wedging is a real possibility.
   dtype = "float32" if "--f32" in sys.argv else "bfloat16"
+  if all_wedged:
+    # Only the watchdog-timeout signature justifies the outage reading;
+    # an inner process that RAN and failed is a code fault and must not
+    # hide behind the relay story.
+    context = ("all attempts wedged => TPU relay outage (the hours-long "
+               "claim-park failure mode, CLAUDE.md), not a code "
+               "regression; last recorded on-chip samples of this same "
+               "benchmark: 9647/9685 imgs/sec (vs_baseline 10.5, "
+               "BASELINE.md end-of-round-3 sweep)")
+  else:
+    context = ("at least one inner attempt ran and failed (see error "
+               "stderr tail) — investigate as a code fault, not a relay "
+               "outage")
   print(json.dumps(dict(
       metric="imgs/sec/chip, fused G+D outer step, CIFAR-10 WC-ResNet "
              f"(batch 64, D:G 5:1, {dtype})",
       value=0.0, unit="imgs/sec/chip", vs_baseline=0.0,
-      error=f"no measurement: {last_err}",
-      context="all attempts wedged => TPU relay outage (the hours-long "
-              "claim-park failure mode, CLAUDE.md), not a code "
-              "regression; last recorded on-chip samples of this same "
-              "benchmark: 9647/9685 imgs/sec (vs_baseline 10.5, "
-              "BASELINE.md end-of-round-3 sweep)")))
+      error=f"no measurement: {last_err}", context=context)))
   return 1
 
 

@@ -355,34 +355,6 @@ def build_experiment(args) -> Trainer:
                  scorer=scorer)
 
 
-def _apply_key_map(loaded, key_map):
-  """Rename checkpoint keys per the --checkpoint_key_map table.
-
-  Exact entries ({src: dst}) win; entries whose source starts with
-  ``re:`` are ``re.sub`` rules applied in table order to every key
-  without an exact entry — the vehicle for mechanical tree migrations
-  where the affected keys depend on the model config (e.g. the r2
-  conditional-W-fold scope move, docs/keymaps/). Destination collisions
-  are loud: last-write-wins would be a silent wrong-weights load."""
-  if not key_map:
-    return loaded
-  import re
-  exact = {k: v for k, v in key_map.items() if not k.startswith("re:")}
-  regex = [(re.compile(k[3:]), v) for k, v in key_map.items()
-           if k.startswith("re:")]
-  renamed = {}
-  for k, v in loaded.items():
-    dst = exact.get(k)
-    if dst is None:
-      dst = k
-      for pat, repl in regex:
-        dst = pat.sub(repl, dst)
-    if dst in renamed:
-      raise ValueError(f"key_map collision on destination {dst!r}")
-    renamed[dst] = v
-  return renamed
-
-
 def _load_weights_npz(params, path, key_map_path=None, model=None,
                       missing="error", log=None):
   """Load weights-only ``.npz`` (export_weights format) — or a Keras-style
@@ -394,7 +366,8 @@ def _load_weights_npz(params, path, key_map_path=None, model=None,
   models, or split per model: {"generator": {...}, "discriminator":
   {...}} — needed because reference Keras files use default layer names
   that collide between G and D (``model`` selects the section). Sources
-  prefixed ``re:`` are regex rules (see :func:`_apply_key_map`).
+  prefixed ``re:`` are regex rules — one shared implementation with the
+  converter, ``tools.h5_convert.apply_key_map``.
 
   ``missing='init'`` (--checkpoint_missing) keeps params absent from the
   file at their fresh initialization instead of raising, loudly listing
@@ -409,12 +382,12 @@ def _load_weights_npz(params, path, key_map_path=None, model=None,
       key_map = json.load(f)
     if key_map and all(isinstance(v, dict) for v in key_map.values()):
       key_map = key_map.get(model, {})
+  from wcgan_tpu.tools.h5_convert import apply_key_map, h5_flat
   if path.endswith((".h5", ".hdf5")):
-    from wcgan_tpu.tools.h5_convert import h5_flat
     loaded = h5_flat(path)
   else:
     loaded = dict(np.load(path))
-  loaded = _apply_key_map(loaded, key_map)
+  loaded = apply_key_map(loaded, key_map)
 
   used, kept = set(), []
 

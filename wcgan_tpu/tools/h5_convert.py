@@ -28,6 +28,39 @@ from typing import Dict, Optional
 import numpy as np
 
 
+def apply_key_map(flat: Dict[str, np.ndarray],
+                  key_map: Optional[Dict[str, str]]
+                  ) -> Dict[str, np.ndarray]:
+  """Rename flat checkpoint keys per a --checkpoint_key_map-style table.
+
+  THE one implementation of the rename semantics, shared by the CLI
+  weight loader and the h5<->npz converter so a map file behaves
+  identically in both. Exact entries ({src: dst}) win; entries whose
+  source starts with ``re:`` are ``re.sub`` rules applied in table order
+  to every key without an exact entry — the vehicle for mechanical tree
+  migrations where the affected keys depend on the model config
+  (docs/keymaps/). Destination collisions are loud: last-write-wins
+  would be a silent wrong-weights load."""
+  if not key_map:
+    return dict(flat)
+  import re
+  exact = {k: v for k, v in key_map.items() if not k.startswith("re:")}
+  regex = [(re.compile(k[3:]), v) for k, v in key_map.items()
+           if k.startswith("re:")]
+  renamed = {}
+  for k, v in flat.items():
+    dst = exact.get(k)
+    if dst is None:
+      dst = k
+      for pat, repl in regex:
+        dst = pat.sub(repl, dst)
+    if dst in renamed:
+      raise ValueError(f"duplicate destination key {dst!r} (from source "
+                       f"{k!r}) — fix the key_map collision")
+    renamed[dst] = v
+  return renamed
+
+
 def h5_flat(h5_path: str,
             key_map: Optional[Dict[str, str]] = None
             ) -> Dict[str, np.ndarray]:
@@ -36,23 +69,18 @@ def h5_flat(h5_path: str,
   The same flatten the CLI's ``--generator_checkpoint``/
   ``--discriminator_checkpoint`` loaders use when handed a ``.h5``
   directly, so reference-style checkpoints load without a conversion
-  step (``--checkpoint_key_map`` supplies the rename table)."""
+  step (``--checkpoint_key_map`` supplies the rename table, exact or
+  ``re:`` regex entries — :func:`apply_key_map`)."""
   import h5py
   out = {}
 
   def visit(name, obj):
     if isinstance(obj, h5py.Dataset):
-      key = key_map.get(name, name) if key_map else name
-      if key in out:
-        # Last-write-wins here would be a silent wrong-weights load.
-        raise ValueError(
-            f"duplicate destination key {key!r} (from dataset {name!r}) "
-            f"— fix the key_map collision")
-      out[key] = np.asarray(obj)
+      out[name] = np.asarray(obj)
 
   with h5py.File(h5_path, "r") as f:
     f.visititems(visit)
-  return out
+  return apply_key_map(out, key_map)
 
 
 def h5_to_npz(h5_path: str, npz_path: str,
