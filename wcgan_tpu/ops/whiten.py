@@ -206,9 +206,12 @@ def newton_schulz_inv_sqrt(
   Iteration-count calibration, measured on covariances from a REAL
   trained WC generator (digits run; condition numbers 3-477): whitening
   error max|W cov W^T - I| is 2.7e-1 at 8 iterations, 1.4e-2 at 10,
-  5.4e-5 at 12, and flat beyond. The default 15 carries margin for the
-  worse-conditioned covariances of early training; 12 is a safe speed
-  knob (--ns_iters).
+  5.4e-5 at 12, and flat beyond. But static calibration is NOT the whole
+  story: in closed loop, ns_iters=12 under-converges once the covariance
+  conditioning exceeds ~1e3 and FEEDS BACK into a conditioning explosion
+  (cond 80 -> 32k over 10k steps; measured, docs/SOAK.md) — do not lower
+  --ns_iters below the default 15 at WC-GAN shapes (module docstring,
+  CLAUDE.md). The trainer's live wc_whiten_residual_max probe guards it.
   """
   a, trace, ident = _jittered_normalized(cov, eps)
   _, z = _ns_iterate(a, ident, num_iters)
