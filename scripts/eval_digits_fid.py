@@ -46,10 +46,12 @@ import numpy as np
 
 def build_feature_net(images_u8, labels, rng_seed=0, steps=600,
                       batch=256, lr=1e-3):
-  """Train the judge CNN; returns (feature_fn, prob_fn, train_accuracy).
+  """Train the judge CNN; returns (judge_fn, train_accuracy).
 
-  feature_fn: uint8 NHWC -> (N, 64) float32 penultimate features.
-  prob_fn:    uint8 NHWC -> (N, 10) float32 softmax class probabilities.
+  judge_fn: uint8 NHWC -> (features, probs) — (N, 64) float32
+  penultimate features and (N, 10) float32 softmax class
+  probabilities, in one batched forward (advisor r3: docstring said
+  3-tuple of separate fns; the actual contract is this 2-tuple).
   """
   import jax
   import jax.numpy as jnp

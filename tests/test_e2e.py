@@ -232,6 +232,43 @@ def test_whitening_residual_warning(tmp_path):
   assert "whitening under-converged" in log
 
 
+def test_residual_probe_finite_on_negative_rounded_diagonal(tmp_path):
+  """Advisor r3: the live whitening probe must use ops/whiten.py's FULL
+  _spd_jitter formula (incl. the 2*neg_diag term). A covariance whose
+  diagonal rounds slightly negative — the exact input class _spd_jitter
+  exists for (MXU-emulation junk at ~1e-9..1e-7 on near-constant
+  features) — previously made the probe iterate a non-SPD matrix to
+  NaN, and 'NaN > 1e-2' silently skipped the health warning for the
+  worst inputs."""
+  import jax
+  import jax.numpy as jnp
+  from wcgan_tpu.cli.run import build_parser, build_experiment
+  argv = TINY + ["--output_dir", str(tmp_path / "o"),
+                 "--checkpoints_dir", str(tmp_path / "c"),
+                 "--number_of_epochs", "1", "--batches_per_epoch", "1",
+                 "--name", "negdiag"]
+  trainer = build_experiment(build_parser().parse_args(argv))
+  stats = trainer.state.g_state["wc_stats"]
+  path, leaf = next(
+      (p, l) for p, l in jax.tree_util.tree_flatten_with_path(stats)[0]
+      if "cov" in "/".join(str(x) for x in p))
+  c = leaf.shape[0]
+  # Near-constant features: ~zero covariance with one diagonal entry
+  # rounded NEGATIVE, off-diagonal junk of the same magnitude.
+  bad = (1e-8 * np.ones((c, c), np.float32)
+         + np.diag(np.full(c, 1e-7, np.float32)))
+  bad[0, 0] = -1e-7
+
+  def plant(keypath, l):
+    return jnp.asarray(bad) if keypath == path else l
+
+  trainer.state = trainer.state.replace(
+      g_state={**trainer.state.g_state,
+               "wc_stats": jax.tree_util.tree_map_with_path(plant, stats)})
+  residuals = trainer._ns_residuals()
+  assert all(np.isfinite(r) for r in residuals), residuals
+
+
 def test_generate_uses_one_static_shape(tmp_path):
   """VERDICT r1: generate() must not retrace for tail chunks — every
   _sample call gets a full static batch; the tail slices after."""

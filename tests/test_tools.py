@@ -68,6 +68,37 @@ def test_cli_loader_per_model_key_map(tmp_path):
                       model="discriminator")
 
 
+def test_sectioned_key_map_validates_section_names(tmp_path):
+  """Advisor r3: a typo'd section name ('generater') used to silently
+  drop the whole rename table; now unknown sections raise, and a
+  sectioned map lacking the selected model's section says so loudly
+  instead of silently applying zero renames."""
+  from wcgan_tpu.cli.run import _load_weights_npz
+  import jax
+
+  params = {"dense": {"kernel": np.zeros((2, 2), np.float32)}}
+  dst_key = "/".join(map(
+      str, jax.tree_util.tree_flatten_with_path(params)[0][0][0]))
+  npz = tmp_path / "w.npz"
+  np.savez(npz, **{dst_key: np.ones((2, 2), np.float32)})
+
+  bad = tmp_path / "bad.json"
+  bad.write_text(json.dumps({"generater": {"a": "b"}}))
+  with pytest.raises(ValueError, match="unknown section.*generater"):
+    _load_weights_npz(params, str(npz), str(bad), model="generator")
+
+  # Valid sectioned map with no section for this model: load proceeds
+  # (zero renames is correct here) but the absence is logged.
+  partial = tmp_path / "partial.json"
+  partial.write_text(json.dumps({"discriminator": {"x": "y"}}))
+  lines = []
+  out = _load_weights_npz(params, str(npz), str(partial),
+                          model="generator", log=lines.append)
+  np.testing.assert_array_equal(out["dense"]["kernel"],
+                                np.ones((2, 2), np.float32))
+  assert any("no 'generator' section" in l for l in lines)
+
+
 def test_shipped_wc_cond_fold_keymap_and_missing_init(tmp_path):
   """Migration across the two documented checkpoint-tree breaks on a
   REAL conditional param tree: the shipped

@@ -381,6 +381,20 @@ def _load_weights_npz(params, path, key_map_path=None, model=None,
     with open(key_map_path) as f:
       key_map = json.load(f)
     if key_map and all(isinstance(v, dict) for v in key_map.values()):
+      # Sectioned map. A typo'd section ('generater') or a sectioned map
+      # with no entry for this model used to silently yield an EMPTY
+      # rename table, surfacing only as downstream missing-key errors
+      # (advisor r3) — validate the section names and say what happened.
+      valid = {"generator", "discriminator"}
+      unknown = sorted(set(key_map) - valid)
+      if unknown:
+        raise ValueError(
+            f"--checkpoint_key_map {key_map_path}: unknown section(s) "
+            f"{unknown}; sectioned maps use keys {sorted(valid)}")
+      if model not in key_map:
+        emit = log or print
+        emit(f"checkpoint_key_map: sectioned map {key_map_path} has no "
+             f"'{model}' section — no renames applied to this model")
       key_map = key_map.get(model, {})
   from wcgan_tpu.tools.h5_convert import apply_key_map, h5_flat
   if path.endswith((".h5", ".hdf5")):

@@ -264,12 +264,15 @@ class Trainer:
         continue
       c = cov.shape[0]
       ident = np.eye(c, dtype=np.float32)
-      # Scale-relative jitter, matching ops/whiten.py::_jittered_normalized
-      # exactly — an absolute eps*I would iterate a DIFFERENT matrix when
-      # the covariance's mean diagonal is far from 1, and the probe would
-      # mis-measure the deployed iteration (advisor r2).
+      # Jitter matching ops/whiten.py::_spd_jitter exactly — an absolute
+      # eps*I would iterate a DIFFERENT matrix when the covariance's mean
+      # diagonal is far from 1 (advisor r2), and omitting the 2*neg_diag
+      # term would iterate a non-SPD matrix (NaN) on exactly the
+      # negative-rounded-diagonal inputs _spd_jitter exists for
+      # (advisor r3) — the probe must measure the DEPLOYED iteration.
       mean_diag = max(np.trace(cov) / c, 0.0)
-      a = cov + (eps * mean_diag + 1e-12) * ident
+      neg_diag = max(-np.min(np.diagonal(cov)), 0.0)
+      a = cov + (eps * mean_diag + 2.0 * neg_diag + 1e-12) * ident
       tr = np.trace(a)
       y, z = a / tr, ident.copy()
       for _ in range(iters):
@@ -430,7 +433,10 @@ class Trainer:
       # and residual 3e-5 -> 0.3 in 10k steps while losses still looked
       # healthy). Warn loudly; losses alone will not show it.
       resid = diag.get("wc_whiten_residual_max", 0.0)
-      if resid > 1e-2:
+      # `resid > 1e-2` is False for NaN — a non-finite probe (the worst
+      # possible whitening health) must warn, not silently pass
+      # (advisor r3).
+      if resid > 1e-2 or not np.isfinite(resid):
         self.logger.line(
             f"Epoch {epoch}: WARNING whitening under-converged "
             f"(wc_whiten_residual_max = {resid:.2e}, cov cond max = "
