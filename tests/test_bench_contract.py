@@ -44,6 +44,47 @@ def test_wedged_attempt_is_killed_and_reported(capfd):
   assert rec["value"] == 0.0 and "wedged" in rec["error"]
 
 
+def test_wedged_probe_fast_fails_with_json(capfd):
+  """VERDICT r3 #1a: a relay outage must produce the honest JSON line
+  in probe-budget time, not after the full 3x900s retry ladder (which
+  left BENCH_r03.json contentless when the driver killed it at 900s)."""
+  import time
+  bench = _load_bench()
+  t0 = time.perf_counter()
+  rc = bench._run_with_retries(
+      attempts=3, timeout_s=900, sleep_s=330,
+      # inner would sleep forever — it must never be launched
+      cmd=[sys.executable, "-c", "import time; time.sleep(600)"],
+      # probe simulating the claim-park wedge: exits non-zero
+      probe_cmd=[sys.executable, "-c",
+                 "import json,sys; print(json.dumps({'tunnel':'wedged',"
+                 "'seconds':180.0})); sys.exit(1)"],
+      probe_timeout_s=30)
+  elapsed = time.perf_counter() - t0
+  assert rc == 1
+  assert elapsed < 30, f"fast-fail took {elapsed:.0f}s — ladder ran"
+  cap = capfd.readouterr()
+  out = cap.out.strip().splitlines()
+  assert len(out) == 1
+  rec = json.loads(out[0])
+  assert rec["value"] == 0.0 and rec["vs_baseline"] == 0.0
+  assert "probe" in rec["error"] and "relay outage" in rec["context"]
+
+
+def test_ok_probe_proceeds_to_measurement(capfd):
+  bench = _load_bench()
+  inner = ("import json; print(json.dumps({'metric': 'm', 'value': 3.0, "
+           "'unit': 'u', 'vs_baseline': 1.0}))")
+  rc = bench._run_with_retries(
+      attempts=1, timeout_s=30,
+      cmd=[sys.executable, "-c", inner],
+      probe_cmd=[sys.executable, "-c", "print('{\"tunnel\": \"ok\"}')"],
+      probe_timeout_s=30)
+  assert rc == 0
+  rec = json.loads(capfd.readouterr().out.strip().splitlines()[-1])
+  assert rec["value"] == 3.0
+
+
 def test_success_passes_inner_json_through(capfd):
   bench = _load_bench()
   inner = ("import json; print('noise'); "
