@@ -43,9 +43,9 @@ def _emit_failure_json(last_err: str, all_wedged: bool) -> None:
     # hide behind the relay story.
     context = ("all attempts wedged => TPU relay outage (the hours-long "
                "claim-park failure mode, CLAUDE.md), not a code "
-               "regression; last recorded on-chip samples of this same "
-               "benchmark: 9647/9685 imgs/sec (vs_baseline 10.5, "
-               "BASELINE.md end-of-round-3 sweep)")
+               "regression; last recorded on-chip sample of this same "
+               "benchmark: 9359.7 imgs/sec b64 / 9725.7 b128 "
+               "(vs_baseline 10.18, BASELINE.md round-4 revalidation)")
   else:
     context = ("at least one inner attempt ran and failed (see error "
                "stderr tail) — investigate as a code fault, not a relay "
