@@ -52,14 +52,17 @@ def _iso(ts: float) -> str:
       ts, datetime.timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
 
 
-def _probe(timeout_s: int) -> dict:
+def _probe(timeout_s: int, probe_cmd=None) -> dict:
   """One bounded tunnel probe; returns the probe's parsed JSON line
   (or a synthetic error record — the probe itself never hangs, but its
-  output contract is defended anyway)."""
+  output contract is defended anyway). ``probe_cmd`` overrides the real
+  tunnel probe (tests; also `--probe-cmd` for a CPU self-test)."""
+  if probe_cmd is None:
+    probe_cmd = [sys.executable, "scripts/tunnel_probe.py",
+                 "--timeout", str(timeout_s)]
   try:
     proc = subprocess.run(
-        [sys.executable, "scripts/tunnel_probe.py",
-         "--timeout", str(timeout_s)],
+        probe_cmd,
         capture_output=True, text=True, cwd=ROOT,
         timeout=timeout_s + 60)
   except subprocess.TimeoutExpired:
@@ -97,14 +100,18 @@ def main() -> int:
   p.add_argument("--revalidate-timeout", type=int, default=8100,
                  help="cap for the revalidation sweep (its stages "
                       "self-bound at ~7.7k s worst case)")
+  p.add_argument("--probe-cmd", default=None,
+                 help="override the probe command (shell-split; tests / "
+                      "CPU self-probe)")
   a = p.parse_args()
+  probe_cmd = a.probe_cmd.split() if a.probe_cmd else None
   log_path = a.log if os.path.isabs(a.log) else os.path.join(ROOT, a.log)
 
   n = 0
   while True:
     n += 1
     t0 = time.time()
-    result = _probe(a.probe_timeout)
+    result = _probe(a.probe_timeout, probe_cmd=probe_cmd)
     record = {"ts": _iso(t0), "event": "probe", **result}
     _append(log_path, record)
     print(json.dumps(record), flush=True)
