@@ -121,10 +121,22 @@ def _run_with_retries(attempts: int = 3, timeout_s: int = 900,
         # after the final attempt: nothing retries, report immediately.
         _time.sleep(sleep_s)
       continue
-    for line in reversed(proc.stdout.splitlines()):
-      if line.startswith("{"):
-        print(line)
-        return 0
+    # Accept a line as THE measurement only if the inner process exited
+    # cleanly AND the line carries the full driver contract — an
+    # incidental JSON-ish library log line before a crash must not be
+    # reported as success (ADVICE r3).
+    if proc.returncode == 0:
+      for line in reversed(proc.stdout.splitlines()):
+        if not line.startswith("{"):
+          continue
+        try:
+          rec = json.loads(line)
+        except ValueError:
+          continue
+        if all(k in rec for k in ("metric", "value", "unit",
+                                  "vs_baseline")):
+          print(line)
+          return 0
     all_wedged = False   # the inner process RAN and failed — a code
                          # fault, not the watchdog-timeout wedge signature
     last_err = (f"attempt {attempt + 1}: rc={proc.returncode}, no JSON; "

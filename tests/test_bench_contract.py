@@ -85,6 +85,32 @@ def test_ok_probe_proceeds_to_measurement(capfd):
   assert rec["value"] == 3.0
 
 
+def test_crashing_inner_with_incidental_json_is_a_failure(capfd):
+  """ADVICE r3: an inner run that prints a JSON-ish log line and then
+  crashes non-zero must NOT be reported as a successful measurement."""
+  bench = _load_bench()
+  inner = ("import sys; print('{\"event\": \"library log line\"}'); "
+           "sys.exit(3)")
+  rc = bench._run_with_retries(
+      attempts=1, timeout_s=30, cmd=[sys.executable, "-c", inner])
+  assert rc == 1
+  rec = json.loads(capfd.readouterr().out.strip().splitlines()[-1])
+  assert rec["value"] == 0.0
+  assert "code fault" in rec["context"]  # ran-and-failed, not outage
+
+
+def test_clean_exit_without_contract_fields_is_a_failure(capfd):
+  """A clean exit whose JSON lacks the driver contract fields is still
+  a failure — the contract requires metric/value/unit/vs_baseline."""
+  bench = _load_bench()
+  inner = "print('{\"metric\": \"m\"}')"
+  rc = bench._run_with_retries(
+      attempts=1, timeout_s=30, cmd=[sys.executable, "-c", inner])
+  assert rc == 1
+  rec = json.loads(capfd.readouterr().out.strip().splitlines()[-1])
+  assert rec["value"] == 0.0
+
+
 def test_success_passes_inner_json_through(capfd):
   bench = _load_bench()
   inner = ("import json; print('noise'); "
