@@ -24,7 +24,8 @@ from wcgan_tpu.train.step import GANConfig, make_jit_step
 
 def bench_variant(norm: str, dtype: str, ns_iters: int,
                   batch=64, zdim=128, res=32, ratio=5, steps=20,
-                  unroll=False, whitening_precision="high"):
+                  unroll=False, whitening_precision="high",
+                  d_fake_stats="batch"):
   # whitening_precision default matches the shipped product default
   # (HIGH since r3) so default ablation rows measure the same config as
   # bench.py/mfu.py; pass "highest" explicitly for the parity mode.
@@ -41,7 +42,8 @@ def bench_variant(norm: str, dtype: str, ns_iters: int,
       dtype=dtype)
   g, d = Generator(cfg=gcfg), Discriminator(cfg=dcfg)
   cfg = GANConfig(training_ratio=ratio, generator_batch_multiple=2,
-                  z_dim=zdim, random_flip=True, unroll_d_scan=unroll)
+                  z_dim=zdim, random_flip=True, unroll_d_scan=unroll,
+                  d_fake_stats=d_fake_stats)
   g_tx, d_tx = schedules.adam(2e-4), schedules.adam(2e-4)
   state = create_state(g, d, g_tx, d_tx, jax.random.PRNGKey(0),
                        batch_size=batch, z_dim=zdim,
@@ -161,6 +163,18 @@ def main():
       v = bench_variant("d", "bfloat16", **kw)
       print(json.dumps({"swing": name, "imgs_per_sec": round(v, 1)}),
             flush=True)
+    return
+  if "--dfake" in sys.argv:
+    # --d_fake_stats A/B at the headline shape: D-phase fakes from
+    # train-mode G (batch stats, reference parity) vs eval-mode G
+    # (running stats — the NS/fold chain is loop-invariant across the
+    # D scan and hoistable). Interleaved, two rounds each.
+    for rnd in range(2):
+      for mode in ("batch", "running"):
+        v = bench_variant("d", "bfloat16", ns_iters=15,
+                          d_fake_stats=mode)
+        print(json.dumps({"swing": f"dfake_{mode}_r{rnd}",
+                          "imgs_per_sec": round(v, 1)}), flush=True)
     return
   if "--shapes" in sys.argv:
     # One row per BASELINE config's per-chip shape: 1 = DCGAN ns 1:1,

@@ -205,6 +205,63 @@ def test_batched_fake_gen_exact_for_stat_free_g():
     np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-5)
 
 
+def test_d_fake_stats_running_exact_for_stat_free_g():
+  """--d_fake_stats running only changes the WHITENING stats source of
+  the D-phase fake forwards; a stat-free G (norm 'n') has no stats, so
+  train- and eval-mode forwards are the same function and the outer
+  step must produce identical updates."""
+  import dataclasses as dc
+  g, d, g_tx, d_tx, cfg = build(g_norm="n")
+  real, labels = fake_batch(cfg)
+
+  def run(mode):
+    c = dc.replace(cfg, d_fake_stats=mode)
+    state = init_state(g, d, g_tx, d_tx, c)
+    step_fn = make_jit_step(g, d, g_tx, d_tx, c, donate=False)
+    return step_fn(state, real, labels)
+
+  s_a, m_a = run("batch")
+  s_b, m_b = run("running")
+  for k in m_a:
+    np.testing.assert_allclose(float(m_a[k]), float(m_b[k]), atol=1e-5,
+                               err_msg=k)
+  for la, lb in zip(jax.tree_util.tree_leaves(s_a.d_params),
+                    jax.tree_util.tree_leaves(s_b.d_params)):
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-5)
+
+
+@pytest.mark.parametrize("kind", ["wc", "cond", "batched"])
+def test_d_fake_stats_running_variants_train(kind):
+  """Running-stats D-phase fakes with a WC G: finite metrics, both
+  models update, and — the semantic contract — G's wc_stats advance
+  EXACTLY as in batch mode (stats move only on the G update, whose
+  batch-stat semantics the mode does not touch)."""
+  import dataclasses as dc
+  kwargs = {}
+  if kind == "cond":
+    kwargs = dict(num_classes=4, projection=True)
+  g, d, g_tx, d_tx, cfg = build(**kwargs)
+  cfg = dc.replace(cfg, d_fake_stats="running",
+                   batched_fake_gen=(kind == "batched"))
+  state = init_state(g, d, g_tx, d_tx, cfg)
+  step_fn = make_jit_step(g, d, g_tx, d_tx, cfg, donate=False)
+  real, labels = fake_batch(cfg)
+  new_state, metrics = step_fn(state, real, labels)
+  assert all(np.isfinite(float(m)) for m in metrics.values())
+  assert _leaf_changed(state.g_params, new_state.g_params)
+  assert _leaf_changed(state.d_params, new_state.d_params)
+  assert _leaf_changed(state.g_state["wc_stats"],
+                       new_state.g_state["wc_stats"])
+
+
+def test_d_fake_stats_rejects_unknown_mode():
+  import dataclasses as dc
+  g, d, g_tx, d_tx, cfg = build()
+  cfg = dc.replace(cfg, d_fake_stats="frozen")
+  with pytest.raises(ValueError, match="d_fake_stats"):
+    make_outer_step(g, d, g_tx, d_tx, cfg)
+
+
 @pytest.mark.parametrize("kind", ["wc", "projection"])
 def test_batched_fake_gen_variants_run(kind):
   """The WC (batch-stat) and conditional projection paths under

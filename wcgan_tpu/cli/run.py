@@ -188,6 +188,15 @@ def build_parser() -> argparse.ArgumentParser:
                       "batch-size-independent Newton-Schulz/fold chain "
                       "5x; whitening moments then see ratio*B rows — "
                       "better statistics, small parity divergence)")
+  p.add_argument("--d_fake_stats", type=str, default="batch",
+                 choices=["batch", "running"],
+                 help="stats source for the D-phase fake-generation "
+                      "forwards: 'batch' (reference parity) or "
+                      "'running' (eval-mode G — the deployed sampler's "
+                      "distribution; loop-invariant whitening lets XLA "
+                      "hoist the moments+NS chain out of the D scan — "
+                      "measured speedup in BASELINE.md; additive, not "
+                      "in the reference)")
   p.add_argument("--device_data", type=int, default=1,
                  help="1 = upload the dataset to device memory once and "
                       "sample minibatches on-device (3x faster through "
@@ -304,6 +313,7 @@ def build_experiment(args) -> Trainer:
       num_classes=num_classes, z_dim=args.z_dim, axis_name=axis_name,
       sn_update_on_g_step=args.sn_update_on_g_step,
       batched_fake_gen=bool(args.batched_fake_gen),
+      d_fake_stats=args.d_fake_stats,
       g_ema_decay=args.generator_ema,
       random_flip=(bool(args.random_flip) if args.random_flip is not None
                    else args.dataset not in ("mnist", "fashion-mnist",

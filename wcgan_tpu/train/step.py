@@ -20,7 +20,9 @@ Semantic notes vs the reference (documented divergences):
   whitening, matching Keras learning_phase=1) but its moving stats are
   NOT advanced; stats advance only on the G update. [Keras would advance
   them on every forward; one advance per outer step is the cleaner
-  semantics and is flagged here for the parity record.]
+  semantics and is flagged here for the parity record.] The additive
+  ``d_fake_stats='running'`` mode instead generates D-phase fakes with
+  EVAL-mode G (running stats) — see ``GANConfig.d_fake_stats``.
 - SN ``u`` vectors advance once per D update (real+fake scored in one
   concatenated forward when D has no norm), not once per Keras
   ``train_on_batch``.
@@ -92,6 +94,27 @@ class GANConfig:
   g_ema_decay: float = 0.0            # EMA of G params for sampling
                                       # (0 = off; not in the reference —
                                       # additive capability)
+  d_fake_stats: str = "batch"         # whitening/BN stats source for the
+                                      # D-phase fake generation forwards:
+                                      # 'batch' (reference parity — each
+                                      # of the K frozen-G forwards
+                                      # recomputes batch moments + the
+                                      # Newton-Schulz chain) or 'running'
+                                      # (additive perf mode: D-phase
+                                      # fakes come from EVAL-mode G, i.e.
+                                      # running stats — the distribution
+                                      # the deployed sampler actually
+                                      # produces. G's params AND running
+                                      # stats are then loop-invariant
+                                      # across the D scan, so XLA's
+                                      # while-loop ICM hoists the whole
+                                      # moments+NS+fold chain out of the
+                                      # K updates. The G update itself
+                                      # keeps exact batch-stat semantics
+                                      # and remains the only stats
+                                      # advance per outer step, so the
+                                      # EMA trajectory is unchanged.
+                                      # Measured on-chip: see BASELINE.md)
 
   @property
   def conditional(self) -> bool:
@@ -154,14 +177,21 @@ def make_outer_step(
   d_takes_labels = cfg.conditional and d_cfg is not None and (
       d_cfg.projection or d_cfg.ac_gan or d_cfg.num_classes > 0)
 
-  def g_apply(params, g_state, z, zy, want_mutable):
+  if cfg.d_fake_stats not in ("batch", "running"):
+    raise ValueError(f"d_fake_stats must be 'batch' or 'running', "
+                     f"got {cfg.d_fake_stats!r}")
+  # 'running': the D-phase fake forwards run EVAL-mode G (no mutable
+  # collections are ever kept from them anyway — see d_update).
+  d_fake_train = cfg.d_fake_stats == "batch"
+
+  def g_apply(params, g_state, z, zy, want_mutable, train=True):
     variables = {"params": params, **g_state}
-    mutable = list(g_state.keys()) if want_mutable else False
+    mutable = list(g_state.keys()) if (want_mutable and train) else False
     if mutable:
       fake, mut = g_module.apply(variables, z, zy, train=True,
                                  mutable=mutable)
       return fake, mut
-    return g_module.apply(variables, z, zy, train=True), {}
+    return g_module.apply(variables, z, zy, train=train), {}
 
   def d_apply(params, d_state, x, y, update_sn):
     variables = {"params": params, **d_state}
@@ -188,7 +218,8 @@ def make_outer_step(
     if fake is None:
       zy = zy_drawn
       fake, _ = g_apply(state.g_params, state.g_state, z, zy,
-                        want_mutable=bool(state.g_state))
+                        want_mutable=bool(state.g_state),
+                        train=d_fake_train)
     fake = lax.stop_gradient(fake)
     y_in = y if d_takes_labels else None
     zy_in = zy if d_takes_labels else None
@@ -307,7 +338,8 @@ def make_outer_step(
       z_all = jnp.concatenate(zs, axis=0)
       zy_all = jnp.concatenate(zys, axis=0) if cfg.conditional else None
       fake_all, _ = g_apply(state.g_params, state.g_state, z_all, zy_all,
-                            want_mutable=bool(state.g_state))
+                            want_mutable=bool(state.g_state),
+                            train=d_fake_train)
       fakes = lax.stop_gradient(fake_all).reshape(
           (ratio, b) + fake_all.shape[1:])
       zy_scan = (zy_all.reshape(ratio, b) if cfg.conditional
