@@ -154,7 +154,8 @@ def _run_with_retries(attempts: int = 3, timeout_s: int = 900,
   return 1
 
 
-def _measure(batch: int, dtype: str, steps: int = 30) -> float:
+def _measure(batch: int, dtype: str, steps: int = 30,
+             d_fake_stats: str = "batch") -> float:
   """imgs/sec for the fused outer step at ``batch`` (fresh state/jit)."""
   import jax
   import jax.numpy as jnp
@@ -167,7 +168,8 @@ def _measure(batch: int, dtype: str, steps: int = 30) -> float:
   zdim, res, ratio = 128, 32, 5
   g, d = _models(resolution=res, z_dim=zdim, dtype=dtype)
   cfg = GANConfig(training_ratio=ratio, generator_batch_multiple=2,
-                  z_dim=zdim, random_flip=True)
+                  z_dim=zdim, random_flip=True,
+                  d_fake_stats=d_fake_stats)
   g_tx, d_tx = schedules.adam(2e-4), schedules.adam(2e-4)
   state = create_state(g, d, g_tx, d_tx, jax.random.PRNGKey(0),
                        batch_size=batch, z_dim=zdim,
@@ -211,6 +213,13 @@ def main() -> int:
   }
   if "--no-b128" not in sys.argv:
     record["value_b128"] = round(_measure(128, dtype), 1)
+  if "--no-dfake" not in sys.argv:
+    # Secondary row: the additive --d_fake_stats running perf mode
+    # (D-phase fakes from eval-mode G; +8% measured, BASELINE.md r4
+    # ablation). THE metric stays the reference-parity batch-stats
+    # configuration at batch 64.
+    record["value_dfake_running"] = round(
+        _measure(64, dtype, d_fake_stats="running"), 1)
   print(json.dumps(record))
   return 0
 

@@ -103,7 +103,7 @@ def bench_sampling(dtype: str, batch=256, zdim=128, res=32, ns_iters=15,
 
 def bench_shape(name: str, res: int, ncls: int, coloring: str,
                 batch=64, zdim=128, ratio=5, steps=20, arch="res",
-                loss="hinge"):
+                loss="hinge", d_fake_stats="batch"):
   """Fused-step throughput at the BASELINE config shapes
   (paper §5 widths via the models' preset_filters)."""
   from wcgan_tpu.models.discriminator import preset_filters as d_presets
@@ -123,7 +123,8 @@ def bench_shape(name: str, res: int, ncls: int, coloring: str,
   g, d = Generator(cfg=gcfg), Discriminator(cfg=dcfg)
   cfg = GANConfig(loss=loss, training_ratio=ratio,
                   generator_batch_multiple=2,
-                  z_dim=zdim, random_flip=True, num_classes=ncls)
+                  z_dim=zdim, random_flip=True, num_classes=ncls,
+                  d_fake_stats=d_fake_stats)
   g_tx, d_tx = schedules.adam(2e-4), schedules.adam(2e-4)
   state = create_state(g, d, g_tx, d_tx, jax.random.PRNGKey(0),
                        batch_size=batch, z_dim=zdim,
@@ -196,12 +197,15 @@ def main():
         ("imagenet64_cwcsa_perchip_cfg5",
          dict(res=64, ncls=1000, coloring="ucconv-sa")))
     only = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")]
+    dfake = "running" if "--dfake-running" in sys.argv else "batch"
     for name, kw in shapes:
       if only and not any(o in name for o in only):
         continue
-      v = bench_shape(name, **kw)
-      print(json.dumps({"config": name, "imgs_per_sec": round(v, 1)}),
-            flush=True)
+      v = bench_shape(name, d_fake_stats=dfake, **kw)
+      rec = {"config": name, "imgs_per_sec": round(v, 1)}
+      if dfake != "batch":
+        rec["d_fake_stats"] = dfake
+      print(json.dumps(rec), flush=True)
     return
   if "--sampling" in sys.argv:
     for dtype in ("bfloat16", "float32"):

@@ -192,11 +192,14 @@ def build_parser() -> argparse.ArgumentParser:
                  choices=["batch", "running"],
                  help="stats source for the D-phase fake-generation "
                       "forwards: 'batch' (reference parity) or "
-                      "'running' (eval-mode G — the deployed sampler's "
-                      "distribution; loop-invariant whitening lets XLA "
-                      "hoist the moments+NS chain out of the D scan — "
-                      "measured speedup in BASELINE.md; additive, not "
-                      "in the reference)")
+                      "'running' (eval-mode G — loop-invariant "
+                      "whitening lets XLA hoist the moments+NS chain "
+                      "out of the D scan; measured +8-13%%, additive, "
+                      "not in the reference). CAVEAT (measured, "
+                      "docs/SOAK.md r4): 'running' slowly degrades "
+                      "covariance conditioning over long runs — fine "
+                      "to ~50k outer steps with the live residual "
+                      "probe as guard; don't use unmonitored beyond")
   p.add_argument("--device_data", type=int, default=1,
                  help="1 = upload the dataset to device memory once and "
                       "sample minibatches on-device (3x faster through "

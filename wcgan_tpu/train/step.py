@@ -114,7 +114,12 @@ class GANConfig:
                                       # and remains the only stats
                                       # advance per outer step, so the
                                       # EMA trajectory is unchanged.
-                                      # Measured on-chip: see BASELINE.md)
+                                      # Measured on-chip: +8.0% headline
+                                      # / +13% conditional e2e, BUT the
+                                      # 50k soak shows slowly degrading
+                                      # covariance conditioning — see
+                                      # BASELINE.md + docs/SOAK.md r4
+                                      # before using on long runs)
 
   @property
   def conditional(self) -> bool:
