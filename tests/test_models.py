@@ -124,6 +124,30 @@ def test_wc_stats_update_and_eval_path():
   np.testing.assert_array_equal(np.asarray(out_eval), np.asarray(out_eval2))
 
 
+def test_wc_momentum_plumbs_to_ema_semantics():
+  """--wc_momentum must reach every WC layer: after one train forward
+  from the (zeros, I) init, new_mean = m*0 + (1-m)*batch_mean — so the
+  running-mean leaves scale linearly in (1-m) between two momenta."""
+  z = jax.random.normal(KEY, (32, 16))
+
+  def first_update_means(m):
+    g = Generator(cfg=tiny_gcfg(wc_momentum=m))
+    variables = g.init(KEY, z, train=True)
+    _, mut = g.apply(variables, z, train=True, mutable=["wc_stats"])
+    leaves = jax.tree_util.tree_leaves_with_path(mut["wc_stats"])
+    return [np.asarray(v) for p, v in
+            sorted(leaves, key=lambda pv: jax.tree_util.keystr(pv[0]))
+            if p[-1].key == "mean"]
+
+  means_99 = first_update_means(0.99)
+  means_90 = first_update_means(0.9)
+  assert means_99 and len(means_99) == len(means_90)
+  for a, b in zip(means_99, means_90):
+    # Same batch_mean (same init seed/inputs): b = 10*a exactly in the
+    # EMA formula; allow f32 rounding.
+    np.testing.assert_allclose(b, 10.0 * a, rtol=1e-4)
+
+
 def test_generator_grads_flow():
   g = Generator(cfg=tiny_gcfg())
   z = jax.random.normal(KEY, (8, 16))

@@ -134,6 +134,13 @@ def build_parser() -> argparse.ArgumentParser:
                  help="Newton-Schulz iterations for whitening")
   p.add_argument("--whitening_method", default="newton_schulz",
                  choices=["newton_schulz", "cholesky"])
+  p.add_argument("--wc_momentum", type=float, default=0.99,
+                 help="EMA momentum of the WC/BN running statistics "
+                      "(Keras BN default 0.99). Lower values make the "
+                      "running stats fresher — relevant to "
+                      "--d_fake_stats running, whose measured "
+                      "conditioning drift tracks the EMA lag "
+                      "(docs/SOAK.md r4)")
   p.add_argument("--whitening_precision", default="high",
                  choices=["highest", "high"],
                  help="MXU precision of the whitening-path matmuls. "
@@ -278,7 +285,8 @@ def build_experiment(args) -> Trainer:
       last_coloring=args.generator_last_coloring,
       num_classes=num_classes, filters_emb=args.filters_emb,
       concat_cls=args.generator_concat_cls, ns_iters=args.ns_iters,
-      ns_method=args.whitening_method, axis_name=axis_name, dtype=dtype,
+      ns_method=args.whitening_method, wc_momentum=args.wc_momentum,
+      axis_name=axis_name, dtype=dtype,
       remat=args.remat)
 
   d_filters = _parse_filters(args.discriminator_filters)
@@ -302,7 +310,7 @@ def build_experiment(args) -> Trainer:
       filters_emb=args.filters_emb,
       projection=args.gan_type == "PROJECTIVE",
       ac_gan=args.gan_type == "AC_GAN", ns_iters=args.ns_iters,
-      ns_method=args.whitening_method,
+      ns_method=args.whitening_method, wc_momentum=args.wc_momentum,
       axis_name=axis_name, dtype=dtype, remat=args.remat)
 
   gan_cfg = GANConfig(

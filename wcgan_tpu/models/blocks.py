@@ -52,6 +52,7 @@ class GenResBlock(nn.Module):
   filters_emb: int = 10
   ns_iters: int = 15
   ns_method: str = "newton_schulz"
+  momentum: float = 0.99
   axis_name: Optional[str] = None
   dtype: Optional[jnp.dtype] = None
 
@@ -63,6 +64,7 @@ class GenResBlock(nn.Module):
           norm=self.norm, coloring=self.coloring,
           num_classes=self.num_classes, filters_emb=self.filters_emb,
           ns_iters=self.ns_iters, method=self.ns_method,
+          momentum=self.momentum,
           axis_name=self.axis_name, name=name)
 
     h = norm_color("nc1")(x, labels, train=train)
@@ -108,6 +110,7 @@ class DiscResBlock(nn.Module):
   filters_emb: int = 10
   ns_iters: int = 15
   ns_method: str = "newton_schulz"
+  momentum: float = 0.99
   axis_name: Optional[str] = None
 
   def _conv(self, features, kernel, name):
@@ -121,6 +124,7 @@ class DiscResBlock(nn.Module):
           norm=self.norm, coloring=self.coloring,
           num_classes=self.num_classes, filters_emb=self.filters_emb,
           ns_iters=self.ns_iters, method=self.ns_method,
+          momentum=self.momentum,
           axis_name=self.axis_name, name=name)
 
     h = x
@@ -180,6 +184,7 @@ class DCGANGenBlock(nn.Module):
   filters_emb: int = 10
   ns_iters: int = 15
   ns_method: str = "newton_schulz"
+  momentum: float = 0.99
   axis_name: Optional[str] = None
   dtype: Optional[jnp.dtype] = None
 
@@ -190,6 +195,7 @@ class DCGANGenBlock(nn.Module):
         norm=self.norm, coloring=self.coloring,
         num_classes=self.num_classes, filters_emb=self.filters_emb,
         ns_iters=self.ns_iters, method=self.ns_method,
+        momentum=self.momentum,
         axis_name=self.axis_name, name="nc")(x, labels, train=train)
     h = nn.relu(h)
     return nn.ConvTranspose(self.filters, (4, 4), strides=(2, 2),

@@ -43,6 +43,7 @@ class DiscriminatorConfig:
   ac_gan: bool = False                 # AC-GAN aux classifier head
   ns_iters: int = 15
   ns_method: str = "newton_schulz"     # --whitening_method [U]
+  wc_momentum: float = 0.99            # EMA momentum of WC/BN running stats
   axis_name: Optional[str] = None
   dtype: str = "float32"
   remat: bool = False
@@ -101,7 +102,7 @@ class Discriminator(nn.Module):
             filters=f, downsample=down, norm=cfg.norm,
             coloring=cfg.coloring, num_classes=cfg.num_classes,
             filters_emb=cfg.filters_emb, ns_iters=cfg.ns_iters,
-            ns_method=cfg.ns_method,
+            ns_method=cfg.ns_method, momentum=cfg.wc_momentum,
             axis_name=cfg.axis_name, **sn_kwargs,
             name=f"block{i}")(h, labels, train, update_sn)
       h = nn.relu(h)

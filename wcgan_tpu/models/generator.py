@@ -42,6 +42,11 @@ class GeneratorConfig:
   concat_cls: bool = False             # --generator_concat_cls [U]
   ns_iters: int = 15
   ns_method: str = "newton_schulz"
+  wc_momentum: float = 0.99            # EMA momentum of the WC/BN running
+                                       # stats (the Keras BN default [U];
+                                       # lower = fresher running stats —
+                                       # see the d_fake_stats=running
+                                       # lag analysis, docs/SOAK.md r4)
   axis_name: Optional[str] = None
   dtype: str = "float32"               # compute dtype: 'float32'|'bfloat16'
   remat: bool = False                  # rematerialize blocks in backward
@@ -89,6 +94,7 @@ class Generator(nn.Module):
           filters=f, norm=cfg.block_norm, coloring=cfg.block_coloring,
           num_classes=cfg.num_classes, filters_emb=cfg.filters_emb,
           ns_iters=cfg.ns_iters, ns_method=cfg.ns_method,
+          momentum=cfg.wc_momentum,
           axis_name=cfg.axis_name, dtype=dtype, name=f"block{i}")
       if cfg.arch == "res":
         kwargs["upsample"] = True
@@ -98,6 +104,7 @@ class Generator(nn.Module):
         norm=cfg.last_norm, coloring=cfg.last_coloring,
         num_classes=cfg.num_classes, filters_emb=cfg.filters_emb,
         ns_iters=cfg.ns_iters, method=cfg.ns_method,
+        momentum=cfg.wc_momentum,
         axis_name=cfg.axis_name, name="nc_out")(h, cond_labels, train=train)
     h = nn.relu(h)
     h = nn.Conv(cfg.output_channels, (3, 3), padding="SAME",
