@@ -137,10 +137,10 @@ def build_parser() -> argparse.ArgumentParser:
   p.add_argument("--wc_momentum", type=float, default=0.99,
                  help="EMA momentum of the WC/BN running statistics "
                       "(Keras BN default 0.99). Lower values make the "
-                      "running stats fresher — relevant to "
-                      "--d_fake_stats running, whose measured "
-                      "conditioning drift tracks the EMA lag "
-                      "(docs/SOAK.md r4)")
+                      "running stats fresher — measured (docs/SOAK.md "
+                      "r4, 50k A/B): 0.9 cuts --d_fake_stats running's "
+                      "conditioning drift ~3x at identical throughput; "
+                      "pair them for long running-stats runs")
   p.add_argument("--whitening_precision", default="high",
                  choices=["highest", "high"],
                  help="MXU precision of the whitening-path matmuls. "
@@ -206,7 +206,10 @@ def build_parser() -> argparse.ArgumentParser:
                       "docs/SOAK.md r4): 'running' slowly degrades "
                       "covariance conditioning over long runs — fine "
                       "to ~50k outer steps with the live residual "
-                      "probe as guard; don't use unmonitored beyond")
+                      "probe as guard; don't use unmonitored beyond. "
+                      "Past ~10k steps pair it with --wc_momentum 0.9 "
+                      "(measured: 3.2x lower end-of-run residual, "
+                      "near-plateaued conditioning, same throughput)")
   p.add_argument("--device_data", type=int, default=1,
                  help="1 = upload the dataset to device memory once and "
                       "sample minibatches on-device (3x faster through "
