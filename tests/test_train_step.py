@@ -254,6 +254,38 @@ def test_d_fake_stats_running_variants_train(kind):
                        new_state.g_state["wc_stats"])
 
 
+def test_sharded_step_d_fake_stats_running_contract():
+  """d_fake_stats=running under the 8-device mesh: the eval-mode D-phase
+  G forwards read replicated running stats (per-sample math, no batch
+  axis), so the sharded step must run, keep every state leaf fully
+  replicated, and advance G's wc_stats EXACTLY as batch mode does with
+  the same seed — the EMA trajectory stays mode-invariant cross-replica
+  (stats move only on the G update, whose batch-stat semantics and rng
+  stream the mode does not touch)."""
+  import dataclasses as dc
+  mesh = make_mesh()
+  g, d, g_tx, d_tx, base = build(axis_name=DATA_AXIS)
+  real, labels = fake_batch(base, batch=16)
+
+  stats_by_mode = {}
+  for mode in ("batch", "running"):
+    cfg = dc.replace(base, d_fake_stats=mode)
+    state = init_state(g, d, g_tx, d_tx, cfg, batch=16)
+    step_fn = make_sharded_step(mesh, g, d, g_tx, d_tx, cfg,
+                                donate=False)
+    new_state, metrics = step_fn(state, real, labels)
+    assert all(np.isfinite(float(m)) for m in metrics.values()), mode
+    for leaf in jax.tree_util.tree_leaves(new_state):
+      assert leaf.sharding.is_fully_replicated, mode
+    assert _leaf_changed(state.g_state["wc_stats"],
+                         new_state.g_state["wc_stats"]), mode
+    stats_by_mode[mode] = new_state.g_state["wc_stats"]
+
+  for la, lb in zip(jax.tree_util.tree_leaves(stats_by_mode["batch"]),
+                    jax.tree_util.tree_leaves(stats_by_mode["running"])):
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-5)
+
+
 def test_d_fake_stats_rejects_unknown_mode():
   import dataclasses as dc
   g, d, g_tx, d_tx, cfg = build()
