@@ -148,6 +148,25 @@ def test_wc_momentum_plumbs_to_ema_semantics():
     np.testing.assert_allclose(b, 10.0 * a, rtol=1e-4)
 
 
+def test_ns_scaling_plumbs_to_every_wc_layer():
+  """--ns_scaling must reach the layers: at a deliberately
+  under-converged iteration count (ns_iters=2) the 'trace' and 'fro'
+  normalizations produce visibly different whitening transforms, so the
+  generator outputs must differ — if the flag were dropped anywhere the
+  two forwards would be bit-identical. Both must stay finite."""
+  z = jax.random.normal(KEY, (32, 16))
+
+  def fwd(scaling):
+    g = Generator(cfg=tiny_gcfg(ns_iters=2, ns_scaling=scaling))
+    variables = g.init(KEY, z, train=True)
+    out, _ = g.apply(variables, z, train=True, mutable=["wc_stats"])
+    return np.asarray(out)
+
+  out_tr, out_fro = fwd("trace"), fwd("fro")
+  assert np.isfinite(out_tr).all() and np.isfinite(out_fro).all()
+  assert np.max(np.abs(out_tr - out_fro)) > 1e-4
+
+
 def test_generator_grads_flow():
   g = Generator(cfg=tiny_gcfg())
   z = jax.random.normal(KEY, (8, 16))

@@ -104,11 +104,15 @@ def test_whiten_color_apply_matches_composition(rng):
   gamma = jnp.asarray(rng.standard_normal((c, c)).astype(np.float32) * 0.3)
   beta = jnp.asarray(rng.standard_normal((c,)).astype(np.float32))
 
-  out = pallas_wc.whiten_color_apply(x, mean, cov, gamma, beta,
-                                     ns_iters=14, interpret=True)
-  w = whiten.newton_schulz_inv_sqrt(cov, num_iters=14)
-  ref = coloring.color_uncond(whiten.whiten_apply(x, mean, w), gamma, beta)
-  np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-4)
+  for scaling in ("trace", "fro"):
+    out = pallas_wc.whiten_color_apply(x, mean, cov, gamma, beta,
+                                       ns_iters=14, scaling=scaling,
+                                       interpret=True)
+    w = whiten.newton_schulz_inv_sqrt(cov, num_iters=14, scaling=scaling)
+    ref = coloring.color_uncond(whiten.whiten_apply(x, mean, w),
+                                gamma, beta)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-4, err_msg=scaling)
 
 
 def test_whiten_color_apply_ragged_rows(rng):

@@ -41,6 +41,41 @@ def test_newton_schulz_inverse_sqrt(rng, c):
   np.testing.assert_allclose(ident, np.eye(c), atol=1e-2)
 
 
+def _spd_with_cond(rng, c, cond):
+  q, _ = np.linalg.qr(rng.standard_normal((c, c)).astype(np.float32))
+  eigs = np.exp(np.linspace(0.0, -np.log(cond), c)).astype(np.float32)
+  return jnp.asarray((q * eigs) @ q.T)
+
+
+@pytest.mark.parametrize("cond", [1e2, 1e4])
+def test_ns_fro_scaling_whitens_and_dominates_trace(rng, cond):
+  """'fro' scaling at the shipped 15 iterations: whitens correctly
+  (matches the Cholesky oracle's W Sigma W^T = I contract), and its
+  residual is never worse than 'trace' — with a decisive margin at high
+  conditioning, where trace's spectrum over-shrink leaves the iteration
+  under-converged (the measured r4 calibration this knob ships on)."""
+  cov = _spd_with_cond(rng, 64, cond)
+
+  def resid(w):
+    return float(jnp.max(jnp.abs(w @ cov @ w.T - jnp.eye(64))))
+
+  r_fro = resid(whiten.newton_schulz_inv_sqrt(cov, num_iters=15,
+                                              scaling="fro"))
+  r_tr = resid(whiten.newton_schulz_inv_sqrt(cov, num_iters=15,
+                                             scaling="trace"))
+  r_orc = resid(whiten.cholesky_inv_sqrt(cov))
+  assert r_fro <= r_tr * 1.05  # never worse (small f32 slack)
+  assert r_fro <= max(10 * r_orc, 5e-3)  # actually whitens
+  if cond >= 1e4:
+    assert r_fro < 0.2 * r_tr  # the high-cond margin is real
+
+
+def test_ns_scaling_rejects_unknown():
+  cov = jnp.eye(4)
+  with pytest.raises(ValueError, match="scaling"):
+    whiten.newton_schulz_inv_sqrt(cov, scaling="spectral")
+
+
 def test_newton_schulz_matches_cholesky_whitening(rng):
   # Different W factors (NS gives the symmetric root, Cholesky the
   # triangular one) but both must whiten: W Sigma W^T = I.

@@ -53,6 +53,7 @@ class GenResBlock(nn.Module):
   ns_iters: int = 15
   ns_method: str = "newton_schulz"
   momentum: float = 0.99
+  ns_scaling: str = "trace"
   axis_name: Optional[str] = None
   dtype: Optional[jnp.dtype] = None
 
@@ -64,7 +65,7 @@ class GenResBlock(nn.Module):
           norm=self.norm, coloring=self.coloring,
           num_classes=self.num_classes, filters_emb=self.filters_emb,
           ns_iters=self.ns_iters, method=self.ns_method,
-          momentum=self.momentum,
+          momentum=self.momentum, ns_scaling=self.ns_scaling,
           axis_name=self.axis_name, name=name)
 
     h = norm_color("nc1")(x, labels, train=train)
@@ -111,6 +112,7 @@ class DiscResBlock(nn.Module):
   ns_iters: int = 15
   ns_method: str = "newton_schulz"
   momentum: float = 0.99
+  ns_scaling: str = "trace"
   axis_name: Optional[str] = None
 
   def _conv(self, features, kernel, name):
@@ -124,7 +126,7 @@ class DiscResBlock(nn.Module):
           norm=self.norm, coloring=self.coloring,
           num_classes=self.num_classes, filters_emb=self.filters_emb,
           ns_iters=self.ns_iters, method=self.ns_method,
-          momentum=self.momentum,
+          momentum=self.momentum, ns_scaling=self.ns_scaling,
           axis_name=self.axis_name, name=name)
 
     h = x
@@ -185,6 +187,7 @@ class DCGANGenBlock(nn.Module):
   ns_iters: int = 15
   ns_method: str = "newton_schulz"
   momentum: float = 0.99
+  ns_scaling: str = "trace"
   axis_name: Optional[str] = None
   dtype: Optional[jnp.dtype] = None
 
@@ -195,7 +198,7 @@ class DCGANGenBlock(nn.Module):
         norm=self.norm, coloring=self.coloring,
         num_classes=self.num_classes, filters_emb=self.filters_emb,
         ns_iters=self.ns_iters, method=self.ns_method,
-        momentum=self.momentum,
+        momentum=self.momentum, ns_scaling=self.ns_scaling,
         axis_name=self.axis_name, name="nc")(x, labels, train=train)
     h = nn.relu(h)
     return nn.ConvTranspose(self.filters, (4, 4), strides=(2, 2),

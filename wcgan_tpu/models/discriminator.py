@@ -44,6 +44,7 @@ class DiscriminatorConfig:
   ns_iters: int = 15
   ns_method: str = "newton_schulz"     # --whitening_method [U]
   wc_momentum: float = 0.99            # EMA momentum of WC/BN running stats
+  ns_scaling: str = "trace"            # NS convergence normalization
   axis_name: Optional[str] = None
   dtype: str = "float32"
   remat: bool = False
@@ -103,6 +104,7 @@ class Discriminator(nn.Module):
             coloring=cfg.coloring, num_classes=cfg.num_classes,
             filters_emb=cfg.filters_emb, ns_iters=cfg.ns_iters,
             ns_method=cfg.ns_method, momentum=cfg.wc_momentum,
+            ns_scaling=cfg.ns_scaling,
             axis_name=cfg.axis_name, **sn_kwargs,
             name=f"block{i}")(h, labels, train, update_sn)
       h = nn.relu(h)

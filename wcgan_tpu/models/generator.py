@@ -42,6 +42,11 @@ class GeneratorConfig:
   concat_cls: bool = False             # --generator_concat_cls [U]
   ns_iters: int = 15
   ns_method: str = "newton_schulz"
+  ns_scaling: str = "trace"            # NS convergence normalization:
+                                       # 'trace' (IterNorm parity) or
+                                       # 'fro' (measured 10-30x lower
+                                       # residual at high conditioning,
+                                       # same cost — ops/whiten.py)
   wc_momentum: float = 0.99            # EMA momentum of the WC/BN running
                                        # stats (the Keras BN default [U];
                                        # lower = fresher running stats —
@@ -94,7 +99,7 @@ class Generator(nn.Module):
           filters=f, norm=cfg.block_norm, coloring=cfg.block_coloring,
           num_classes=cfg.num_classes, filters_emb=cfg.filters_emb,
           ns_iters=cfg.ns_iters, ns_method=cfg.ns_method,
-          momentum=cfg.wc_momentum,
+          momentum=cfg.wc_momentum, ns_scaling=cfg.ns_scaling,
           axis_name=cfg.axis_name, dtype=dtype, name=f"block{i}")
       if cfg.arch == "res":
         kwargs["upsample"] = True
@@ -104,7 +109,7 @@ class Generator(nn.Module):
         norm=cfg.last_norm, coloring=cfg.last_coloring,
         num_classes=cfg.num_classes, filters_emb=cfg.filters_emb,
         ns_iters=cfg.ns_iters, method=cfg.ns_method,
-        momentum=cfg.wc_momentum,
+        momentum=cfg.wc_momentum, ns_scaling=cfg.ns_scaling,
         axis_name=cfg.axis_name, name="nc_out")(h, cond_labels, train=train)
     h = nn.relu(h)
     h = nn.Conv(cfg.output_channels, (3, 3), padding="SAME",

@@ -112,6 +112,8 @@ class DecorrelationNorm(nn.Module):
   ns_iters: int = 15
   mode: str = "d"
   method: str = "newton_schulz"  # or "cholesky" (oracle)
+  ns_scaling: str = "trace"      # NS convergence normalization
+                                 # (ops/whiten.py::_jittered_normalized)
   axis_name: Optional[str] = None
   pallas_eval: Optional[bool] = None  # None/False = XLA split path
                                       # (measured faster); True forces
@@ -135,18 +137,20 @@ class DecorrelationNorm(nn.Module):
         out = pallas_wc.whiten_color_apply(
             x2d, r_mean.value, r_cov.value,
             jnp.eye(c, dtype=jnp.float32), jnp.zeros((c,), jnp.float32),
-            ns_iters=self.ns_iters, eps=self.eps)
+            ns_iters=self.ns_iters, eps=self.eps,
+            scaling=self.ns_scaling)
       else:
         out = whiten_ops.whiten_eval(
             x2d, r_mean.value, r_cov.value, eps=self.eps,
-            num_iters=self.ns_iters, method=self.method)
+            num_iters=self.ns_iters, method=self.method,
+            scaling=self.ns_scaling)
       return out.reshape(x.shape)
 
     if self.mode == "d":
       out, new_mean, new_cov = whiten_ops.whiten_train(
           x2d, r_mean.value, r_cov.value, momentum=self.momentum,
           eps=self.eps, num_iters=self.ns_iters, axis_name=axis,
-          method=self.method)
+          method=self.method, scaling=self.ns_scaling)
     elif self.mode == "dr":
       bmean, bcov = whiten_ops.batch_moments(x2d, axis_name=axis)
       mean, stat_src, new_mean, new_cov = \
@@ -155,7 +159,8 @@ class DecorrelationNorm(nn.Module):
               use_batch=False, momentum=self.momentum)
       out = whiten_ops.whiten_eval(
           x2d, mean, stat_src, eps=self.eps,
-          num_iters=self.ns_iters, method=self.method)
+          num_iters=self.ns_iters, method=self.method,
+          scaling=self.ns_scaling)
     else:
       raise ValueError(f"unknown whitening mode {self.mode!r}")
 
@@ -177,6 +182,7 @@ class NormLayer(nn.Module):
   eps: float = 1e-5
   ns_iters: int = 15
   method: str = "newton_schulz"
+  ns_scaling: str = "trace"
   axis_name: Optional[str] = None
   pallas_eval: Optional[bool] = None
 
@@ -193,7 +199,8 @@ class NormLayer(nn.Module):
     if self.code in ("d", "dr"):
       return DecorrelationNorm(
           momentum=self.momentum, eps=self.eps, ns_iters=self.ns_iters,
-          mode=self.code, method=self.method, axis_name=self.axis_name,
+          mode=self.code, method=self.method,
+          ns_scaling=self.ns_scaling, axis_name=self.axis_name,
           pallas_eval=self.pallas_eval, name="wc")(x, train=train)
     raise ValueError(f"unknown norm code {self.code!r}")
 
@@ -317,6 +324,7 @@ class NormColor(nn.Module):
   eps: float = 1e-5
   ns_iters: int = 15
   method: str = "newton_schulz"
+  ns_scaling: str = "trace"
   axis_name: Optional[str] = None
   pallas_eval: Optional[bool] = None  # None/False = XLA split path
                                       # (measured faster); True forces
@@ -332,6 +340,7 @@ class NormColor(nn.Module):
       return self._fused_wc_cond(x, labels, train)
     x = NormLayer(code=self.norm, momentum=self.momentum, eps=self.eps,
                   ns_iters=self.ns_iters, method=self.method,
+                  ns_scaling=self.ns_scaling,
                   axis_name=self.axis_name, pallas_eval=self.pallas_eval,
                   name="norm")(x, train=train)
     x = Coloring(code=self.coloring, num_classes=self.num_classes,
@@ -365,7 +374,8 @@ class NormColor(nn.Module):
     if self.method == "cholesky":
       return whiten_ops.cholesky_inv_sqrt(stat_src, eps=self.eps)
     return whiten_ops.newton_schulz_inv_sqrt(
-        stat_src, num_iters=self.ns_iters, eps=self.eps)
+        stat_src, num_iters=self.ns_iters, eps=self.eps,
+        scaling=self.ns_scaling)
 
   def _fused_wc_uconv(self, x: jax.Array, train: bool) -> jax.Array:
     c = x.shape[-1]
@@ -380,7 +390,8 @@ class NormColor(nn.Module):
       # the split path on-chip — see _pallas_eval_ok.
       out = pallas_wc.whiten_color_apply(
           x2d, mean, stat_src, gamma, beta,
-          ns_iters=self.ns_iters, eps=self.eps)
+          ns_iters=self.ns_iters, eps=self.eps,
+          scaling=self.ns_scaling)
       return out.astype(x.dtype).reshape(x.shape)
 
     w = self._w(stat_src)

@@ -194,7 +194,7 @@ moments.defvjp(_moments_fwd, _moments_bwd)
 
 def _wc_apply_kernel(x_ref, mean_ref, cov_ref, gamma_ref, beta_ref,
                      out_ref, mt_scratch, bias_scratch, *,
-                     ns_iters: int, eps: float):
+                     ns_iters: int, eps: float, scaling: str):
   i = pl.program_id(0)
 
   @pl.when(i == 0)
@@ -206,7 +206,13 @@ def _wc_apply_kernel(x_ref, mean_ref, cov_ref, gamma_ref, beta_ref,
     ident = jnp.eye(c, dtype=jnp.float32)
     mean_diag = jnp.maximum(jnp.trace(cov) / c, 0.0)
     a = cov + (eps * mean_diag + 1e-12) * ident
-    trace = jnp.trace(a)
+    # Same convergence-normalization contract as ops/whiten.py::
+    # _jittered_normalized ('trace' = IterNorm parity, 'fro' = the
+    # measured faster-converging bound).
+    if scaling == "trace":
+      trace = jnp.trace(a)
+    else:
+      trace = jnp.sqrt(jnp.sum(a * a))
     a = a / trace
 
     # HIGHEST precision is load-bearing: with the MXU's default bf16
@@ -243,6 +249,7 @@ def _wc_apply_kernel(x_ref, mean_ref, cov_ref, gamma_ref, beta_ref,
 def whiten_color_apply(x2d: jax.Array, mean: jax.Array, cov: jax.Array,
                        gamma: jax.Array, beta: jax.Array,
                        ns_iters: int = 15, eps: float = 1e-5,
+                       scaling: str = "trace",
                        block_rows: int = _DEF_BLOCK_ROWS,
                        interpret: Optional[bool] = None) -> jax.Array:
   """The WC transform given (mean, cov): ONE kernel computing the
@@ -276,7 +283,11 @@ def whiten_color_apply(x2d: jax.Array, mean: jax.Array, cov: jax.Array,
   padded = nblocks * block_rows
   if padded != rows:
     x2d = jnp.pad(x2d, ((0, padded - rows), (0, 0)))
-  kernel = functools.partial(_wc_apply_kernel, ns_iters=ns_iters, eps=eps)
+  if scaling not in ("trace", "fro"):
+    raise ValueError(f"ns scaling must be 'trace' or 'fro', "
+                     f"got {scaling!r}")
+  kernel = functools.partial(_wc_apply_kernel, ns_iters=ns_iters, eps=eps,
+                             scaling=scaling)
   try:
     vma = jax.typeof(x2d).vma
     out_shape = jax.ShapeDtypeStruct((padded, c), x2d.dtype, vma=vma)

@@ -146,16 +146,36 @@ def _spd_jitter(cov, eps):
   return eps * mean_diag + 2.0 * neg_diag + 1e-12
 
 
-def _jittered_normalized(cov, eps):
-  """(cov + jitter*I) / trace — SPD-safe jitter + trace normalization
-  (trace norm guarantees ||I - A|| < 1 so Newton–Schulz converges)."""
+def _jittered_normalized(cov, eps, scaling="trace"):
+  """(cov + jitter*I) / s — SPD-safe jitter + convergence normalization.
+
+  Both scalings guarantee Newton–Schulz convergence (eigenvalues land in
+  (0, 1] so ||I - A||_2 < 1), but they are NOT equal in convergence
+  speed: for SPD, lambda_max <= ||A||_F <= tr(A), so 'trace' shrinks the
+  spectrum by up to the channel count more than necessary while 'fro'
+  keeps eigenvalues as large as a matmul-free bound allows. Measured
+  (r4, f32, C=256, log-uniform AND spiked spectra; docs/SOAK.md
+  'ns_scaling calibration'): at the shipped 15 iterations 'fro' is
+  never worse and is 3–31x more converged exactly in the
+  high-conditioning log-uniform regime the recorded feedback loops
+  live in (cond 1e4: residual 7.9e-2 -> 2.5e-3; cond 3e4:
+  1.9e-1 -> 2.2e-2; equal at cond <= 1e2 and on spiked spectra, where
+  both are fully converged). Identical matmul count — the scale is one
+  elementwise reduction either way. 'trace' stays the default pending
+  the soak-gate (IterNorm parity)."""
   cov = _f32(cov)
   c = cov.shape[-1]
   ident = jnp.eye(c, dtype=jnp.float32)
   a = cov + _spd_jitter(cov, eps) * ident
-  trace = jnp.trace(a)
-  a = a / trace
-  return a, trace, ident
+  if scaling == "trace":
+    scale = jnp.trace(a)
+  elif scaling == "fro":
+    scale = jnp.sqrt(jnp.sum(a * a))
+  else:
+    raise ValueError(f"ns scaling must be 'trace' or 'fro', "
+                     f"got {scaling!r}")
+  a = a / scale
+  return a, scale, ident
 
 
 def _ns_iterate(a, ident, num_iters):
@@ -182,11 +202,12 @@ def _ns_iterate(a, ident, num_iters):
   return y, z
 
 
-@functools.partial(jax.jit, static_argnames=("num_iters",))
+@functools.partial(jax.jit, static_argnames=("num_iters", "scaling"))
 def newton_schulz_inv_sqrt(
     cov: jax.Array,
     num_iters: int = 15,
     eps: float = 1e-5,
+    scaling: str = "trace",
 ) -> jax.Array:
   """Inverse principal square root of an SPD matrix via coupled Newton–Schulz.
 
@@ -213,25 +234,26 @@ def newton_schulz_inv_sqrt(
   --ns_iters below the default 15 at WC-GAN shapes (module docstring,
   CLAUDE.md). The trainer's live wc_whiten_residual_max probe guards it.
   """
-  a, trace, ident = _jittered_normalized(cov, eps)
+  a, scale, ident = _jittered_normalized(cov, eps, scaling)
   _, z = _ns_iterate(a, ident, num_iters)
-  return z / jnp.sqrt(trace)
+  return z / jnp.sqrt(scale)
 
 
-@functools.partial(jax.jit, static_argnames=("num_iters",))
+@functools.partial(jax.jit, static_argnames=("num_iters", "scaling"))
 def newton_schulz_sqrt(
     cov: jax.Array,
     num_iters: int = 15,
     eps: float = 1e-5,
+    scaling: str = "trace",
 ) -> jax.Array:
   """Principal square root (Y branch of the same coupled iteration).
 
   Used by the coloring-from-running-stats ('dr') inference path and by the
   FID Fréchet-distance term (eval/fid.py).
   """
-  a, trace, ident = _jittered_normalized(cov, eps)
+  a, scale, ident = _jittered_normalized(cov, eps, scaling)
   y, _ = _ns_iterate(a, ident, num_iters)
-  return y * jnp.sqrt(trace)
+  return y * jnp.sqrt(scale)
 
 
 def cholesky_inv_sqrt(cov: jax.Array, eps: float = 1e-5) -> jax.Array:
@@ -269,12 +291,14 @@ def whiten_apply(x2d: jax.Array, mean: jax.Array, w: jax.Array) -> jax.Array:
   return out.astype(x2d.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_iters", "method"))
+@functools.partial(jax.jit,
+                   static_argnames=("num_iters", "method", "scaling"))
 def inv_sqrt(cov, num_iters: int = 15, eps: float = 1e-5,
-             method: str = "newton_schulz"):
+             method: str = "newton_schulz", scaling: str = "trace"):
   """Dispatch helper: 'newton_schulz' (TPU hot path) or 'cholesky' (oracle)."""
   if method == "newton_schulz":
-    return newton_schulz_inv_sqrt(cov, num_iters=num_iters, eps=eps)
+    return newton_schulz_inv_sqrt(cov, num_iters=num_iters, eps=eps,
+                                  scaling=scaling)
   if method == "cholesky":
     return cholesky_inv_sqrt(cov, eps=eps)
   raise ValueError(f"unknown inv-sqrt method: {method!r}")
@@ -299,7 +323,8 @@ def stats_select_and_ema(batch_mean, batch_cov, moving_mean, moving_cov,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("momentum", "eps", "num_iters", "axis_name", "method"))
+    static_argnames=("momentum", "eps", "num_iters", "axis_name", "method",
+                     "scaling"))
 def whiten_train(
     x2d: jax.Array,
     moving_mean: jax.Array,
@@ -310,6 +335,7 @@ def whiten_train(
     num_iters: int = 15,
     axis_name: Optional[str] = None,
     method: str = "newton_schulz",
+    scaling: str = "trace",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
   """Training-mode whitening from batch statistics ('d' mode).
 
@@ -325,13 +351,14 @@ def whiten_train(
   if method == "cholesky":
     w = cholesky_inv_sqrt(stat_src, eps=eps)
   else:
-    w = newton_schulz_inv_sqrt(stat_src, num_iters=num_iters, eps=eps)
+    w = newton_schulz_inv_sqrt(stat_src, num_iters=num_iters, eps=eps,
+                               scaling=scaling)
   out = whiten_apply(x2d, mean, w)
   return out, new_mean, new_cov
 
 
 @functools.partial(
-    jax.jit, static_argnames=("eps", "num_iters", "method"))
+    jax.jit, static_argnames=("eps", "num_iters", "method", "scaling"))
 def whiten_eval(
     x2d: jax.Array,
     moving_mean: jax.Array,
@@ -340,10 +367,12 @@ def whiten_eval(
     eps: float = 1e-5,
     num_iters: int = 15,
     method: str = "newton_schulz",
+    scaling: str = "trace",
 ) -> jax.Array:
   """Inference-mode whitening from running statistics."""
   if method == "cholesky":
     w = cholesky_inv_sqrt(_f32(moving_cov), eps=eps)
   else:
-    w = newton_schulz_inv_sqrt(_f32(moving_cov), num_iters=num_iters, eps=eps)
+    w = newton_schulz_inv_sqrt(_f32(moving_cov), num_iters=num_iters,
+                               eps=eps, scaling=scaling)
   return whiten_apply(x2d, _f32(moving_mean), w)

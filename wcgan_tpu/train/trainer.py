@@ -253,6 +253,7 @@ class Trainer:
     # getattr-guarded like step.py's module-config reads: a custom G
     # module without .cfg must not kill diagnostics at the epoch line.
     iters = getattr(getattr(self.g, "cfg", None), "ns_iters", 15)
+    scaling = getattr(getattr(self.g, "cfg", None), "ns_scaling", "trace")
     eps = 1e-5
     res = [0.0]
     for path, leaf in jax.tree_util.tree_flatten_with_path(
@@ -273,7 +274,7 @@ class Trainer:
       mean_diag = max(np.trace(cov) / c, 0.0)
       neg_diag = max(-np.min(np.diagonal(cov)), 0.0)
       a = cov + (eps * mean_diag + 2.0 * neg_diag + 1e-12) * ident
-      tr = np.trace(a)
+      tr = np.trace(a) if scaling == "trace" else np.linalg.norm(a)
       y, z = a / tr, ident.copy()
       for _ in range(iters):
         t = 0.5 * (3.0 * ident - z @ y)
