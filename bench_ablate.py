@@ -25,7 +25,7 @@ from wcgan_tpu.train.step import GANConfig, make_jit_step
 def bench_variant(norm: str, dtype: str, ns_iters: int,
                   batch=64, zdim=128, res=32, ratio=5, steps=20,
                   unroll=False, whitening_precision="high",
-                  d_fake_stats="batch"):
+                  d_fake_stats="batch", ns_scaling="trace"):
   # whitening_precision default matches the shipped product default
   # (HIGH since r3) so default ablation rows measure the same config as
   # bench.py/mfu.py; pass "highest" explicitly for the parity mode.
@@ -35,11 +35,12 @@ def bench_variant(norm: str, dtype: str, ns_iters: int,
       z_dim=zdim, resolution=res, base_resolution=4,
       filters=(256, 256, 256), block_norm=norm,
       last_norm=norm, ns_iters=ns_iters, dtype=dtype,
+      ns_scaling=ns_scaling,
       block_coloring="uconv", last_coloring="uconv")
   dcfg = DiscriminatorConfig(
       resolution=res, filters=(128, 128, 128, 128),
       downsample=(True, True, False, False), ns_iters=ns_iters,
-      dtype=dtype)
+      ns_scaling=ns_scaling, dtype=dtype)
   g, d = Generator(cfg=gcfg), Discriminator(cfg=dcfg)
   cfg = GANConfig(training_ratio=ratio, generator_batch_multiple=2,
                   z_dim=zdim, random_flip=True, unroll_d_scan=unroll,
@@ -103,7 +104,7 @@ def bench_sampling(dtype: str, batch=256, zdim=128, res=32, ns_iters=15,
 
 def bench_shape(name: str, res: int, ncls: int, coloring: str,
                 batch=64, zdim=128, ratio=5, steps=20, arch="res",
-                loss="hinge", d_fake_stats="batch"):
+                loss="hinge", d_fake_stats="batch", ns_scaling="trace"):
   """Fused-step throughput at the BASELINE config shapes
   (paper §5 widths via the models' preset_filters)."""
   from wcgan_tpu.models.discriminator import preset_filters as d_presets
@@ -115,11 +116,11 @@ def bench_shape(name: str, res: int, ncls: int, coloring: str,
       base_resolution=res // (2 ** len(gf)),
       filters=gf, num_classes=ncls, block_norm="d", last_norm="d",
       block_coloring=coloring, last_coloring=coloring, ns_iters=15,
-      dtype="bfloat16")
+      ns_scaling=ns_scaling, dtype="bfloat16")
   dcfg = DiscriminatorConfig(
       arch=arch, resolution=res, filters=df, downsample=down,
       num_classes=ncls, projection=ncls > 0, ns_iters=15,
-      dtype="bfloat16")
+      ns_scaling=ns_scaling, dtype="bfloat16")
   g, d = Generator(cfg=gcfg), Discriminator(cfg=dcfg)
   cfg = GANConfig(loss=loss, training_ratio=ratio,
                   generator_batch_multiple=2,
@@ -175,6 +176,26 @@ def main():
         v = bench_variant("d", "bfloat16", ns_iters=15,
                           d_fake_stats=mode)
         print(json.dumps({"swing": f"dfake_{mode}_r{rnd}",
+                          "imgs_per_sec": round(v, 1)}), flush=True)
+    return
+  if "--nsscale" in sys.argv:
+    # --ns_scaling A/B, interleaved two rounds each (same protocol as
+    # --dfake: cross-session chip variance is larger than the effects
+    # under test, so never compare across sessions). Two shapes: the
+    # headline uncond bf16 shape (batch stats, NS inside the D scan ×5)
+    # and the conditional config-2 shape under d_fake_stats=running
+    # (NS hoisted — the pairing the fro knob is recommended for).
+    for rnd in range(2):
+      for scaling in ("trace", "fro"):
+        v = bench_variant("d", "bfloat16", ns_iters=15,
+                          ns_scaling=scaling)
+        print(json.dumps({"swing": f"nsscale_{scaling}_headline_r{rnd}",
+                          "imgs_per_sec": round(v, 1)}), flush=True)
+    for rnd in range(2):
+      for scaling in ("trace", "fro"):
+        v = bench_shape("cfg2", res=32, ncls=10, coloring="ucconv",
+                        d_fake_stats="running", ns_scaling=scaling)
+        print(json.dumps({"swing": f"nsscale_{scaling}_cfg2run_r{rnd}",
                           "imgs_per_sec": round(v, 1)}), flush=True)
     return
   if "--shapes" in sys.argv:
