@@ -70,6 +70,32 @@ def test_ns_fro_scaling_whitens_and_dominates_trace(rng, cond):
     assert r_fro < 0.2 * r_tr  # the high-cond margin is real
 
 
+def test_ns_fro_does_not_license_fewer_iterations(rng):
+  """Negative result, pinned (r4 calibration, docs/SOAK.md): 'fro'
+  scaling does NOT make ns_iters < 15 safe. On a SPIKED spectrum (one
+  dominant eigenvalue — the shape live WC covariances take, per the
+  soak conditioning/residual data) tr(A) is dominated by that
+  eigenvalue so tr ~= ||A||_F: fro buys nothing, and dropping
+  iterations under-converges as badly as under trace (measured C=256:
+  fro@13 is 66x worse than trace@15 at cond 1e4). Iteration count
+  stays the sharp axis regardless of scaling — keep ns_iters >= 15."""
+  c = 64
+  q, _ = np.linalg.qr(rng.standard_normal((c, c)).astype(np.float32))
+  eigs = np.full(c, 1e-4, np.float32)
+  eigs[0] = 1.0  # spiked: cond 1e4 carried by one eigenvalue
+  cov = jnp.asarray((q * eigs) @ q.T)
+
+  def resid(k, s):
+    w = whiten.newton_schulz_inv_sqrt(cov, num_iters=k, scaling=s)
+    return float(jnp.max(jnp.abs(w @ cov @ w.T - jnp.eye(c))))
+
+  r_fro15, r_tr15 = resid(15, "fro"), resid(15, "trace")
+  # No fro advantage on spiked spectra (tr ~= fro norm here)...
+  assert r_fro15 <= r_tr15 * 1.10
+  # ...and two fewer iterations under fro loses an order of magnitude.
+  assert resid(13, "fro") > 10 * r_fro15
+
+
 def test_ns_scaling_rejects_unknown():
   cov = jnp.eye(4)
   with pytest.raises(ValueError, match="scaling"):

@@ -232,7 +232,11 @@ def newton_schulz_inv_sqrt(
   conditioning exceeds ~1e3 and FEEDS BACK into a conditioning explosion
   (cond 80 -> 32k over 10k steps; measured, docs/SOAK.md) — do not lower
   --ns_iters below the default 15 at WC-GAN shapes (module docstring,
-  CLAUDE.md). The trainer's live wc_whiten_residual_max probe guards it.
+  CLAUDE.md). This holds under BOTH scalings: on the spiked spectra live
+  covariances take, tr ~= ||.||_F, so 'fro' does not license fewer
+  iterations either (fro@13 is 66x worse than trace@15 at spiked cond
+  1e4 — measured negative result, docs/SOAK.md r4). The trainer's live
+  wc_whiten_residual_max probe guards it.
   """
   a, scale, ident = _jittered_normalized(cov, eps, scaling)
   _, z = _ns_iterate(a, ident, num_iters)
