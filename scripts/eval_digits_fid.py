@@ -129,6 +129,13 @@ def main(argv=None) -> int:
                        "size of the real digits set, for a balanced FID)")
   ap.add_argument("--block_coloring", default="ucconv")
   ap.add_argument("--generator_ema", type=float, default=0.0)
+  ap.add_argument("--sample_from", choices=("auto", "raw"), default="auto",
+                  help="'auto' = the trainer's sampling rule (EMA weights "
+                       "when the run trained with --generator_ema, raw "
+                       "otherwise); 'raw' = force raw g_params even on an "
+                       "EMA checkpoint — the two halves of the EMA A/B "
+                       "from ONE training run (the EMA is a passive "
+                       "shadow, so one run carries both weight sets)")
   ap.add_argument("--bf16", type=int, default=1,
                   help="must match the training run")
   ap.add_argument("--platform", default="auto")
@@ -206,6 +213,10 @@ def main(argv=None) -> int:
   traj = []
   for ep in epochs:
     trainer.restore_checkpoint(trainer.checkpoint_path(ep))
+    if args.sample_from == "raw" and trainer.state.g_ema:
+      # Drop the restored EMA shadow so Trainer.generate's sampling rule
+      # (EMA-if-present) falls through to the raw parameters.
+      trainer.state = trainer.state.replace(g_ema={})
     fake_u8 = trainer.generate(args.samples)
     feats_fake, probs_fake = judge_fn(fake_u8)
     fid = fid_between(feats_fake, feats_real)
