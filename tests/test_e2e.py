@@ -352,3 +352,37 @@ def test_cli_dcgan_remat_builds(tmp_path):
                  "--number_of_epochs", "1", "--name", "dr"]
   trainer = build_experiment(build_parser().parse_args(argv))
   assert trainer.g.cfg.remat
+
+
+def test_generator_ema_sampling_and_raw_override(tmp_path):
+  """--generator_ema end to end: after a short run the EMA shadow has
+  diverged from the raw params, Trainer.generate samples from the EMA
+  weights by default, and clearing state.g_ema (the eval scripts'
+  --sample_from raw mechanics) falls back to raw-weight sampling —
+  the two halves of an EMA A/B from ONE run's checkpoints."""
+  from wcgan_tpu.cli.run import build_parser, build_experiment
+  argv = TINY + ["--generator_ema", "0.5",
+                 "--output_dir", str(tmp_path / "o"),
+                 "--checkpoints_dir", str(tmp_path / "c"),
+                 "--number_of_epochs", "2", "--name", "ema"]
+  trainer = build_experiment(build_parser().parse_args(argv))
+  trainer.train()
+
+  import jax
+  leaves_ema = jax.tree_util.tree_leaves(trainer.state.g_ema)
+  leaves_raw = jax.tree_util.tree_leaves(trainer.state.g_params)
+  assert leaves_ema and any(
+      not np.allclose(np.asarray(e), np.asarray(p))
+      for e, p in zip(leaves_ema, leaves_raw))
+
+  ema_imgs = trainer.generate(8, batch=8)
+  trainer.state = trainer.state.replace(g_ema={})
+  raw_imgs = trainer.generate(8, batch=8)  # same rng_seed, raw weights
+  assert not np.array_equal(ema_imgs, raw_imgs)
+
+  # The full-state checkpoint round-trips the EMA shadow bit-exactly.
+  trainer2 = build_experiment(build_parser().parse_args(argv))
+  trainer2.restore_checkpoint(trainer2.latest_checkpoint())
+  for a, b in zip(leaves_ema,
+                  jax.tree_util.tree_leaves(trainer2.state.g_ema)):
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
