@@ -39,6 +39,7 @@ import argparse
 import datetime
 import json
 import os
+import shlex
 import subprocess
 import sys
 import time
@@ -104,7 +105,9 @@ def main() -> int:
                  help="override the probe command (shell-split; tests / "
                       "CPU self-probe)")
   a = p.parse_args()
-  probe_cmd = a.probe_cmd.split() if a.probe_cmd else None
+  # shlex: interpreter/script paths with spaces must be expressible
+  # (ADVICE r4 — str.split() could not quote them).
+  probe_cmd = shlex.split(a.probe_cmd) if a.probe_cmd else None
   log_path = a.log if os.path.isabs(a.log) else os.path.join(ROOT, a.log)
 
   n = 0

@@ -71,6 +71,24 @@ def test_wedged_probe_fast_fails_with_json(capfd):
   assert "probe" in rec["error"] and "relay outage" in rec["context"]
 
 
+def test_probe_ok_plus_watchdog_kill_is_reported_ambiguous(capfd):
+  """ADVICE r4: probe-ok + watchdog-kill must NOT claim clean outage
+  evidence — the probe just passed, so the wedge reading is ambiguous
+  (relay wedged after the probe, or the 3-measurement inner workload
+  outran the watchdog)."""
+  bench = _load_bench()
+  rc = bench._run_with_retries(
+      attempts=1, timeout_s=2, sleep_s=0,
+      cmd=[sys.executable, "-c", "import time; time.sleep(60)"],
+      probe_cmd=[sys.executable, "-c", "print('{\"tunnel\": \"ok\"}')"],
+      probe_timeout_s=30)
+  assert rc == 1
+  rec = json.loads(capfd.readouterr().out.strip().splitlines()[-1])
+  assert rec["value"] == 0.0
+  assert "ambiguous" in rec["context"]
+  assert "relay outage (the hours-long" not in rec["context"]
+
+
 def test_ok_probe_proceeds_to_measurement(capfd):
   bench = _load_bench()
   inner = ("import json; print(json.dumps({'metric': 'm', 'value': 3.0, "

@@ -115,6 +115,31 @@ def test_whiten_color_apply_matches_composition(rng):
                                atol=5e-4, err_msg=scaling)
 
 
+def test_whiten_color_apply_negative_diagonal_jitter_parity(rng):
+  """ADVICE r4: the kernel's jitter must carry _spd_jitter's 2*neg_diag
+  SPD-safety term. A covariance whose diagonal rounds slightly negative
+  (the measured ~1e-9..1e-7 MXU-emulation artifact on near-constant
+  features) must whiten finitely and match the whiten-ops composition,
+  not diverge cubically in Newton-Schulz."""
+  from wcgan_tpu.ops import coloring
+  c = 8
+  x = jnp.asarray(rng.standard_normal((200, c)).astype(np.float32))
+  mean, cov = whiten.batch_moments(x, use_pallas=False)
+  # Make one feature near-constant with a negative rounded variance and
+  # junk covariances of the same magnitude (the documented artifact).
+  cov = np.array(cov)
+  cov[0, :] = cov[:, 0] = 1e-8 * rng.standard_normal(c)
+  cov[0, 0] = -3e-8
+  cov = jnp.asarray(cov)
+  out = pallas_wc.whiten_color_apply(x, mean, cov, jnp.eye(c),
+                                     jnp.zeros(c), ns_iters=15,
+                                     interpret=True)
+  assert np.isfinite(np.asarray(out)).all()
+  w = whiten.newton_schulz_inv_sqrt(cov, num_iters=15)
+  ref = whiten.whiten_apply(x, mean, w)
+  np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-4)
+
+
 def test_whiten_color_apply_ragged_rows(rng):
   c = 8
   x = jnp.asarray(rng.standard_normal((130, c)).astype(np.float32))

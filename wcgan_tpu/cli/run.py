@@ -217,8 +217,13 @@ def build_parser() -> argparse.ArgumentParser:
                       "covariance conditioning over long runs — fine "
                       "to ~50k outer steps with the live residual "
                       "probe as guard; don't use unmonitored beyond. "
+                      "Cold-start: running stats init to (0, I), so "
+                      "D-phase fakes are effectively un-whitened for "
+                      "~1/(1-momentum) outer steps (~100 at default) "
+                      "until the EMA warms up. "
                       "Past ~10k steps pair it with --wc_momentum 0.9 "
-                      "(measured: 3.2x lower end-of-run residual, "
+                      "(also shortens warm-up to ~10 steps; measured: "
+                      "3.2x lower end-of-run residual, "
                       "near-plateaued conditioning, same throughput)")
   p.add_argument("--device_data", type=int, default=1,
                  help="1 = upload the dataset to device memory once and "

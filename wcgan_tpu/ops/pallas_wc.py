@@ -204,11 +204,18 @@ def _wc_apply_kernel(x_ref, mean_ref, cov_ref, gamma_ref, beta_ref,
     cov = cov_ref[:].astype(jnp.float32)
     c = cov.shape[0]
     ident = jnp.eye(c, dtype=jnp.float32)
-    mean_diag = jnp.maximum(jnp.trace(cov) / c, 0.0)
-    a = cov + (eps * mean_diag + 1e-12) * ident
-    # Same convergence-normalization contract as ops/whiten.py::
-    # _jittered_normalized ('trace' = IterNorm parity, 'fro' = the
-    # measured faster-converging bound).
+    # Full _spd_jitter parity (ADVICE r4 — the 2*neg_diag SPD-safety
+    # term was missing here: a diagonal that rounds slightly negative
+    # under MXU emulation keeps a negative eigenvalue, and NS then
+    # diverges cubically). Diag via mask+row-sum, not jnp.diagonal —
+    # gathers don't lower in Mosaic; this is two cheap VPU reductions.
+    diag = jnp.sum(cov * ident, axis=1)
+    mean_diag = jnp.maximum(jnp.sum(diag) / c, 0.0)
+    neg_diag = jnp.maximum(-jnp.min(diag), 0.0)
+    a = cov + (eps * mean_diag + 2.0 * neg_diag + 1e-12) * ident
+    # Same jitter AND convergence-normalization contract as
+    # ops/whiten.py::_jittered_normalized ('trace' = IterNorm parity,
+    # 'fro' = the measured faster-converging bound).
     if scaling == "trace":
       trace = jnp.trace(a)
     else:

@@ -119,7 +119,20 @@ class GANConfig:
                                       # 50k soak shows slowly degrading
                                       # covariance conditioning — see
                                       # BASELINE.md + docs/SOAK.md r4
-                                      # before using on long runs)
+                                      # before using on long runs.
+                                      # Cold-start caveat (ADVICE r4): at
+                                      # init the running stats are
+                                      # (mean=0, cov=I), so early D-phase
+                                      # fakes are effectively UN-whitened
+                                      # until the EMA warms up (~1/(1-m)
+                                      # outer steps: ~100 at the 0.99
+                                      # default) — D briefly trains on a
+                                      # distribution G's own update never
+                                      # produces. Pair with
+                                      # --wc_momentum 0.9 from step 0:
+                                      # it shortens warm-up to ~10 steps
+                                      # AND is the measured long-horizon
+                                      # conditioning mitigation.)
 
   @property
   def conditional(self) -> bool:
