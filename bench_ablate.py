@@ -102,47 +102,22 @@ def bench_sampling(dtype: str, batch=256, zdim=128, res=32, ns_iters=15,
   return out
 
 
-def bench_shape(name: str, res: int, ncls: int, coloring: str,
-                batch=64, zdim=128, ratio=5, steps=20, arch="res",
-                loss="hinge", d_fake_stats="batch", ns_scaling="trace"):
-  """Fused-step throughput at the BASELINE config shapes
-  (paper §5 widths via the models' preset_filters)."""
-  from wcgan_tpu.models.discriminator import preset_filters as d_presets
-  from wcgan_tpu.models.generator import preset_filters as g_presets
-  gf = g_presets(arch, res)
-  df, down = d_presets(arch, res)
-  gcfg = GeneratorConfig(
-      arch=arch, z_dim=zdim, resolution=res,
-      base_resolution=res // (2 ** len(gf)),
-      filters=gf, num_classes=ncls, block_norm="d", last_norm="d",
-      block_coloring=coloring, last_coloring=coloring, ns_iters=15,
-      ns_scaling=ns_scaling, dtype="bfloat16")
-  dcfg = DiscriminatorConfig(
-      arch=arch, resolution=res, filters=df, downsample=down,
-      num_classes=ncls, projection=ncls > 0, ns_iters=15,
-      ns_scaling=ns_scaling, dtype="bfloat16")
-  g, d = Generator(cfg=gcfg), Discriminator(cfg=dcfg)
-  cfg = GANConfig(loss=loss, training_ratio=ratio,
-                  generator_batch_multiple=2,
-                  z_dim=zdim, random_flip=True, num_classes=ncls,
-                  d_fake_stats=d_fake_stats)
-  g_tx, d_tx = schedules.adam(2e-4), schedules.adam(2e-4)
-  state = create_state(g, d, g_tx, d_tx, jax.random.PRNGKey(0),
-                       batch_size=batch, z_dim=zdim,
-                       image_shape=(res, res, 3), num_classes=ncls)
-  step_fn = make_jit_step(g, d, g_tx, d_tx, cfg, donate=True)
-  real = jax.random.randint(jax.random.PRNGKey(1),
-                            (ratio, batch, res, res, 3), 0, 256
-                            ).astype(jnp.uint8)
-  labels = jax.random.randint(jax.random.PRNGKey(2), (ratio, batch), 0,
-                              max(ncls, 1)).astype(jnp.int32)
+def bench_shape(config: str, batch=64, steps=20, d_fake_stats="batch",
+                ns_scaling="trace", ns_iters=15):
+  """Fused-step throughput at one BASELINE config shape (paper §5
+  widths; construction single-sourced in tools/bench_shapes so MFU and
+  attribution measure the same program — VERDICT r4 #1)."""
+  from wcgan_tpu.tools.bench_shapes import build_bench
+  step_fn, state, (real, labels), spec = build_bench(
+      config, batch=batch, d_fake_stats=d_fake_stats,
+      ns_scaling=ns_scaling, ns_iters=ns_iters)
   state, metrics = step_fn(state, real, labels)
   float(metrics["d_loss"])
   t0 = time.perf_counter()
   for _ in range(steps):
     state, metrics = step_fn(state, real, labels)
   float(metrics["d_loss"])
-  return steps * ratio * batch / (time.perf_counter() - t0)
+  return steps * spec["ratio"] * batch / (time.perf_counter() - t0)
 
 
 def main():
@@ -193,8 +168,8 @@ def main():
                           "imgs_per_sec": round(v, 1)}), flush=True)
     for rnd in range(2):
       for scaling in ("trace", "fro"):
-        v = bench_shape("cfg2", res=32, ncls=10, coloring="ucconv",
-                        d_fake_stats="running", ns_scaling=scaling)
+        v = bench_shape("cfg2", d_fake_stats="running",
+                        ns_scaling=scaling)
         print(json.dumps({"swing": f"nsscale_{scaling}_cfg2run_r{rnd}",
                           "imgs_per_sec": round(v, 1)}), flush=True)
     return
@@ -207,22 +182,17 @@ def main():
     # 3.9 GB f32, per-chip infeasible at paper widths; see
     # cli/presets.py's measured note).
     shapes = (
-        ("cifar10_wc_dcgan_cfg1",
-         dict(res=32, ncls=0, coloring="uconv", arch="dcgan", ratio=1,
-              loss="ns")),
-        ("cifar10_cwc_proj_cfg2",
-         dict(res=32, ncls=10, coloring="ucconv")),
-        ("stl10_uncond_48_cfg3", dict(res=48, ncls=0, coloring="uconv")),
-        ("tiny_imagenet_cwcsa_64_cfg4",
-         dict(res=64, ncls=200, coloring="ucconv-sa")),
-        ("imagenet64_cwcsa_perchip_cfg5",
-         dict(res=64, ncls=1000, coloring="ucconv-sa")))
+        ("cifar10_wc_dcgan_cfg1", "cfg1"),
+        ("cifar10_cwc_proj_cfg2", "cfg2"),
+        ("stl10_uncond_48_cfg3", "cfg3"),
+        ("tiny_imagenet_cwcsa_64_cfg4", "cfg4"),
+        ("imagenet64_cwcsa_perchip_cfg5", "cfg5"))
     only = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")]
     dfake = "running" if "--dfake-running" in sys.argv else "batch"
-    for name, kw in shapes:
+    for name, key in shapes:
       if only and not any(o in name for o in only):
         continue
-      v = bench_shape(name, d_fake_stats=dfake, **kw)
+      v = bench_shape(key, d_fake_stats=dfake)
       rec = {"config": name, "imgs_per_sec": round(v, 1)}
       if dfake != "batch":
         rec["d_fake_stats"] = dfake

@@ -155,6 +155,10 @@ EFF = {"bf16": 1.0, "f32": 1.0 / 3.0}
 
 def main() -> int:
   ap = argparse.ArgumentParser()
+  ap.add_argument("--config", default="headline",
+                  help="headline (bench.py shape) or cfg1..cfg5 "
+                       "(BASELINE per-chip config shapes; "
+                       "tools/bench_shapes.py — VERDICT r4 #1)")
   ap.add_argument("--f32", action="store_true")
   ap.add_argument("--dump_ops", type=int, default=0,
                   help="print the N largest individual ops")
@@ -164,35 +168,23 @@ def main() -> int:
   a = ap.parse_args()
 
   import jax
-  import jax.numpy as jnp
   if a.platform != "auto":
     jax.config.update("jax_platforms",
                       {"tpu": "axon"}.get(a.platform, a.platform))
 
   sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
-  from __graft_entry__ import _models
-  from wcgan_tpu.train import schedules
-  from wcgan_tpu.train.state import create_state
-  from wcgan_tpu.train.step import GANConfig, make_jit_step
+  from wcgan_tpu.tools.bench_shapes import build_bench
 
-  batch, zdim, res, ratio = a.batch, 128, 32, 5
   dtype = "float32" if a.f32 else "bfloat16"
-  g, d = _models(resolution=res, z_dim=zdim, dtype=dtype,
-                 ns_iters=a.ns_iters)
-  # unroll_d_scan: the production step runs the 5 D updates as a
+  # unroll_d_scan: the production step runs the K D updates as a
   # lax.scan, whose body appears ONCE in the HLO text (and once in XLA's
   # own cost_analysis — measured r3: 1.990 TFLOP at both ratio=1 and
-  # ratio=5). Attribution must see all 5 bodies, so it parses the
+  # ratio=5). Attribution must see all K bodies, so it parses the
   # unrolled variant of the same math.
-  cfg = GANConfig(training_ratio=ratio, generator_batch_multiple=2,
-                  z_dim=zdim, random_flip=True, unroll_d_scan=True)
-  g_tx, d_tx = schedules.adam(2e-4), schedules.adam(2e-4)
-  state = create_state(g, d, g_tx, d_tx, jax.random.PRNGKey(0),
-                       batch_size=batch, z_dim=zdim,
-                       image_shape=(res, res, 3))
-  step_fn = make_jit_step(g, d, g_tx, d_tx, cfg, donate=False)
-  real = jnp.zeros((ratio, batch, res, res, 3), jnp.uint8)
-  labels = jnp.zeros((ratio, batch), jnp.int32)
+  step_fn, state, (real, labels), spec = build_bench(
+      a.config, batch=a.batch, dtype=dtype, ns_iters=a.ns_iters,
+      donate=False, unroll_d_scan=True)
+  batch, ratio = a.batch, spec["ratio"]
 
   compiled = step_fn.lower(state, real, labels).compile()
   cost = compiled.cost_analysis()
@@ -204,7 +196,8 @@ def main() -> int:
   total = sum(f for dd in buckets.values() for f in dd.values())
   wtotal = sum(f / EFF.get(dt, 1.0)
                for dd in buckets.values() for dt, f in dd.items())
-  print(f"# outer-step attribution ({dtype}, batch {batch}, ratio "
+  print(f"# outer-step attribution ({a.config}: res {spec['res']}, "
+        f"ncls {spec['ncls']}, {dtype}, batch {batch}, ratio "
         f"{ratio}, ns_iters {a.ns_iters})")
   print(f"XLA cost_analysis total: {float(cost['flops'])/1e12:.3f} "
         f"TFLOP | parsed conv+dot total: {total/1e12:.3f} TFLOP")

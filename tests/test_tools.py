@@ -159,3 +159,31 @@ def test_shipped_wc_cond_fold_keymap_and_missing_init(tmp_path):
   # Strict default refuses the same file, pointing at the flag.
   with pytest.raises(KeyError, match="checkpoint_missing"):
     _load_weights_npz(params, str(npz), kmap, model="generator")
+
+
+def test_bench_shapes_cover_all_baseline_configs():
+  """tools/bench_shapes single-sources the per-config perf shapes
+  (VERDICT r4 #1): all five BASELINE configs + the headline bench shape
+  construct, with widths matching the models' preset_filters."""
+  from wcgan_tpu.models.discriminator import preset_filters as d_presets
+  from wcgan_tpu.models.generator import preset_filters as g_presets
+  from wcgan_tpu.tools.bench_shapes import CONFIGS, build_models
+
+  assert set(CONFIGS) == {"headline", "cfg1", "cfg2", "cfg3", "cfg4",
+                          "cfg5"}
+  for name, spec in CONFIGS.items():
+    g, d, out_spec = build_models(name)
+    assert out_spec["ratio"] == spec["ratio"]
+    assert tuple(g.cfg.filters) == tuple(g_presets(spec["arch"],
+                                                   spec["res"]))
+    df, down = d_presets(spec["arch"], spec["res"])
+    assert tuple(d.cfg.filters) == tuple(df)
+    assert tuple(d.cfg.downsample) == tuple(down)
+    assert g.cfg.num_classes == d.cfg.num_classes == spec["ncls"]
+    assert d.cfg.projection == (spec["ncls"] > 0)
+  # The headline row must equal the driver-metric bench.py shape.
+  g, _, _ = build_models("headline")
+  assert tuple(g.cfg.filters) == (256, 256, 256)
+  import pytest
+  with pytest.raises(KeyError):
+    build_models("nope")
