@@ -54,7 +54,16 @@ MOMENTUM = 0.99
 
 
 # ---------------------------------------------------------------- TF side
-def run_tf(outer_steps: int) -> dict:
+def run_tf(outer_steps: int, fused: bool = False) -> dict:
+  """``fused=False``: the reference's execution model — one tf.function
+  call per update, fresh host numpy feed per call (== one sess.run per
+  train_on_batch). ``fused=True`` (VERDICT r4 #6): the OTHER bracket —
+  the whole outer step (RATIO D updates + 1 G update) in ONE tf.function
+  with in-graph RNG, i.e. zero host feeds and one dispatch per outer
+  step — an upper bound on what any TF/Keras implementation of the
+  reference could reach on this hardware (graph-mode executor, no XLA:
+  TF 1.x-era parity). The two points bracket the V100 denominator, so
+  BASELINE.md reports vs_baseline as a range."""
   import tensorflow as tf
   tf.config.set_visible_devices([], "GPU")
 
@@ -250,6 +259,43 @@ def run_tf(outer_steps: int) -> dict:
     g_opt.apply_gradients(zip(grads, g.trainable()))
     return loss
 
+  if fused:
+    tf_rng = tf.random.Generator.from_seed(0)
+
+    @tf.function
+    def outer_step():
+      # RATIO unrolled D updates + 1 G update, all inputs generated
+      # in-graph: no feed_dict, no per-update Python dispatch.
+      d_loss = tf.constant(0.0)
+      for _ in range(RATIO):
+        x = tf_rng.normal([BATCH, RES, RES, 3])
+        z = tf_rng.normal([BATCH, Z_DIM])
+        fake = g(z, training=True)
+        with tf.GradientTape() as tape:
+          d_loss = (
+              tf.reduce_mean(tf.nn.relu(1.0 - d(x, update_u=True)))
+              + tf.reduce_mean(tf.nn.relu(1.0 + d(fake, update_u=True))))
+        grads = tape.gradient(d_loss, d.trainable())
+        d_opt.apply_gradients(zip(grads, d.trainable()))
+      zg = tf_rng.normal([BATCH * G_MULT, Z_DIM])
+      with tf.GradientTape() as tape:
+        g_loss = -tf.reduce_mean(d(g(zg, training=True), update_u=False))
+      grads = tape.gradient(g_loss, g.trainable())
+      g_opt.apply_gradients(zip(grads, g.trainable()))
+      return d_loss, g_loss
+
+    d_loss, g_loss = outer_step()  # warmup / trace
+    float(d_loss), float(g_loss)
+    t0 = time.perf_counter()
+    for _ in range(outer_steps):
+      d_loss, g_loss = outer_step()
+    float(d_loss), float(g_loss)  # host fetch fence
+    dt = time.perf_counter() - t0
+    return dict(impl="tf_fused",
+                imgs_per_sec=outer_steps * RATIO * BATCH / dt,
+                outer_steps=outer_steps, seconds=dt,
+                tf_threads="default")
+
   rng = np.random.default_rng(0)
 
   def feed():
@@ -317,7 +363,8 @@ def run_jax(outer_steps: int) -> dict:
 def main() -> int:
   global RATIO
   p = argparse.ArgumentParser()
-  p.add_argument("--impl", choices=["tf", "jax"], required=True)
+  p.add_argument("--impl", choices=["tf", "tf_fused", "jax"],
+                 required=True)
   p.add_argument("--outer_steps", type=int, default=3)
   p.add_argument("--ratio", type=int, default=5,
                  help="D updates per outer step. The full 5:1 fused jax "
@@ -326,7 +373,10 @@ def main() -> int:
                       "both impls with a third of the graph")
   a = p.parse_args()
   RATIO = a.ratio
-  out = (run_tf if a.impl == "tf" else run_jax)(a.outer_steps)
+  if a.impl == "jax":
+    out = run_jax(a.outer_steps)
+  else:
+    out = run_tf(a.outer_steps, fused=a.impl == "tf_fused")
   out["ratio"] = a.ratio
   out["imgs_per_sec"] = round(out["imgs_per_sec"], 2)
   out["seconds"] = round(out["seconds"], 2)
