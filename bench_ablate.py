@@ -25,7 +25,9 @@ from wcgan_tpu.train.step import GANConfig, make_jit_step
 def bench_variant(norm: str, dtype: str, ns_iters: int,
                   batch=64, zdim=128, res=32, ratio=5, steps=20,
                   unroll=False, whitening_precision="high",
-                  d_fake_stats="batch", ns_scaling="trace"):
+                  d_fake_stats="batch", ns_scaling="trace",
+                  remat=False, random_flip=True, batched_fake_gen=False,
+                  opt="adam"):
   # whitening_precision default matches the shipped product default
   # (HIGH since r3) so default ablation rows measure the same config as
   # bench.py/mfu.py; pass "highest" explicitly for the parity mode.
@@ -35,7 +37,7 @@ def bench_variant(norm: str, dtype: str, ns_iters: int,
       z_dim=zdim, resolution=res, base_resolution=4,
       filters=(256, 256, 256), block_norm=norm,
       last_norm=norm, ns_iters=ns_iters, dtype=dtype,
-      ns_scaling=ns_scaling,
+      ns_scaling=ns_scaling, remat=remat,
       block_coloring="uconv", last_coloring="uconv")
   dcfg = DiscriminatorConfig(
       resolution=res, filters=(128, 128, 128, 128),
@@ -43,9 +45,16 @@ def bench_variant(norm: str, dtype: str, ns_iters: int,
       ns_scaling=ns_scaling, dtype=dtype)
   g, d = Generator(cfg=gcfg), Discriminator(cfg=dcfg)
   cfg = GANConfig(training_ratio=ratio, generator_batch_multiple=2,
-                  z_dim=zdim, random_flip=True, unroll_d_scan=unroll,
+                  z_dim=zdim, random_flip=random_flip,
+                  unroll_d_scan=unroll, batched_fake_gen=batched_fake_gen,
                   d_fake_stats=d_fake_stats)
-  g_tx, d_tx = schedules.adam(2e-4), schedules.adam(2e-4)
+  if opt == "sgd":
+    # Optimizer-cost probe (--gap): plain SGD instead of the two Adams —
+    # if throughput is identical, the Adam math is fused/free.
+    import optax
+    g_tx, d_tx = optax.sgd(2e-4), optax.sgd(2e-4)
+  else:
+    g_tx, d_tx = schedules.adam(2e-4), schedules.adam(2e-4)
   state = create_state(g, d, g_tx, d_tx, jax.random.PRNGKey(0),
                        batch_size=batch, z_dim=zdim,
                        image_shape=(res, res, 3))
@@ -103,14 +112,14 @@ def bench_sampling(dtype: str, batch=256, zdim=128, res=32, ns_iters=15,
 
 
 def bench_shape(config: str, batch=64, steps=20, d_fake_stats="batch",
-                ns_scaling="trace", ns_iters=15):
+                ns_scaling="trace", ns_iters=15, block_norm="d"):
   """Fused-step throughput at one BASELINE config shape (paper §5
   widths; construction single-sourced in tools/bench_shapes so MFU and
   attribution measure the same program — VERDICT r4 #1)."""
   from wcgan_tpu.tools.bench_shapes import build_bench
   step_fn, state, (real, labels), spec = build_bench(
       config, batch=batch, d_fake_stats=d_fake_stats,
-      ns_scaling=ns_scaling, ns_iters=ns_iters)
+      ns_scaling=ns_scaling, ns_iters=ns_iters, block_norm=block_norm)
   state, metrics = step_fn(state, real, labels)
   float(metrics["d_loss"])
   t0 = time.perf_counter()
@@ -171,6 +180,59 @@ def main():
         v = bench_shape("cfg2", d_fake_stats="running",
                         ns_scaling=scaling)
         print(json.dumps({"swing": f"nsscale_{scaling}_cfg2run_r{rnd}",
+                          "imgs_per_sec": round(v, 1)}), flush=True)
+    return
+  if "--modes" in sys.argv:
+    # VERDICT r4 #5: at-shape evidence for the `dr` (whiten from
+    # running stats) and `b` (plain BN) norm modes — unit-tested since
+    # r1 but never measured on chip. Interleaved, two rounds each, at
+    # the headline shape; plus d-vs-dr at the conditional cfg2 shape
+    # (dr's EMA-lagged whitening is the mechanism behind the
+    # d_fake_stats=running drift, so cfg2 is where it matters).
+    for rnd in range(2):
+      for norm in ("d", "dr", "b"):
+        v = bench_variant(norm, "bfloat16", ns_iters=15)
+        print(json.dumps({"swing": f"mode_{norm}_headline_r{rnd}",
+                          "imgs_per_sec": round(v, 1)}), flush=True)
+    for rnd in range(2):
+      for norm in ("d", "dr"):
+        v = bench_shape("cfg2", block_norm=norm)
+        print(json.dumps({"swing": f"mode_{norm}_cfg2_r{rnd}",
+                          "imgs_per_sec": round(v, 1)}), flush=True)
+    return
+  if "--acgan" in sys.argv:
+    # VERDICT r4 #4: AC-GAN at shape, with the projection-D cfg2 row as
+    # the interleaved control (same G; D differs by aux head vs
+    # projection embedding).
+    for rnd in range(2):
+      for key in ("cfg2", "acgan"):
+        v = bench_shape(key)
+        print(json.dumps({"swing": f"{key}_r{rnd}",
+                          "imgs_per_sec": round(v, 1)}), flush=True)
+    return
+  if "--gap" in sys.argv:
+    # VERDICT r4 #2: attack the measured ~38% gap between the headline
+    # step (34.36 ms) and its op-mix ceiling (~20.6 ms). Each candidate
+    # is an interleaved A/B against the in-batch baseline:
+    #   remat_g      — G-block remat: backward recomputes activations
+    #                  (incl. the whitening chain) instead of saving them
+    #   noflip       — on-device flip+prep glue cost
+    #   sgd_opt      — the 2 Adams vs plain SGD (optimizer-fusion check)
+    #   run          — d_fake_stats=running control (hoists NS chain)
+    #   bfg_run      — + batched_fake_gen: ONE ratio*B G forward per
+    #                  outer step, moment passes cut to 1/outer-step
+    gap = [
+        ("baseline", dict()),
+        ("remat_g", dict(remat=True)),
+        ("noflip", dict(random_flip=False)),
+        ("sgd_opt", dict(opt="sgd")),
+        ("run", dict(d_fake_stats="running")),
+        ("bfg_run", dict(d_fake_stats="running", batched_fake_gen=True)),
+    ]
+    for rnd in range(2):
+      for name, kw in gap:
+        v = bench_variant("d", "bfloat16", ns_iters=15, **kw)
+        print(json.dumps({"swing": f"gap_{name}_r{rnd}",
                           "imgs_per_sec": round(v, 1)}), flush=True)
     return
   if "--shapes" in sys.argv:

@@ -170,7 +170,7 @@ def test_bench_shapes_cover_all_baseline_configs():
   from wcgan_tpu.tools.bench_shapes import CONFIGS, build_models
 
   assert set(CONFIGS) == {"headline", "cfg1", "cfg2", "cfg3", "cfg4",
-                          "cfg5"}
+                          "cfg5", "acgan"}
   for name, spec in CONFIGS.items():
     g, d, out_spec = build_models(name)
     assert out_spec["ratio"] == spec["ratio"]
@@ -180,7 +180,9 @@ def test_bench_shapes_cover_all_baseline_configs():
     assert tuple(d.cfg.filters) == tuple(df)
     assert tuple(d.cfg.downsample) == tuple(down)
     assert g.cfg.num_classes == d.cfg.num_classes == spec["ncls"]
-    assert d.cfg.projection == (spec["ncls"] > 0)
+    acgan = bool(spec.get("acgan"))
+    assert d.cfg.ac_gan == acgan
+    assert d.cfg.projection == (spec["ncls"] > 0 and not acgan)
   # The headline row must equal the driver-metric bench.py shape.
   g, _, _ = build_models("headline")
   assert tuple(g.cfg.filters) == (256, 256, 256)

@@ -35,12 +35,17 @@ CONFIGS: Dict[str, dict] = {
                  ratio=5, loss="hinge"),
     "cfg5": dict(res=64, ncls=1000, coloring="ucconv-sa", arch="res",
                  ratio=5, loss="hinge"),
+    # AC-GAN at the cfg2-class CIFAR shape: aux classifier head on a
+    # non-projection SN-D, aux CE in both losses (VERDICT r4 #4 — the
+    # objective needed at-shape evidence beyond unit tests).
+    "acgan": dict(res=32, ncls=10, coloring="ucconv", arch="res",
+                  ratio=5, loss="hinge", acgan=True),
 }
 
 
 def build_models(config: str, dtype: str = "bfloat16",
                  ns_iters: int = 15, ns_scaling: str = "trace",
-                 zdim: int = 128):
+                 zdim: int = 128, block_norm: str = "d"):
   """(Generator, Discriminator, spec) at ``config``'s paper widths."""
   from wcgan_tpu.models.discriminator import (Discriminator,
                                               DiscriminatorConfig)
@@ -53,25 +58,27 @@ def build_models(config: str, dtype: str = "bfloat16",
   spec = dict(CONFIGS[config])
   gf = g_presets(spec["arch"], spec["res"])
   df, down = d_presets(spec["arch"], spec["res"])
+  acgan = bool(spec.get("acgan"))
   gcfg = GeneratorConfig(
       arch=spec["arch"], z_dim=zdim, resolution=spec["res"],
       base_resolution=spec["res"] // (2 ** len(gf)),
-      filters=gf, num_classes=spec["ncls"], block_norm="d",
-      last_norm="d", block_coloring=spec["coloring"],
+      filters=gf, num_classes=spec["ncls"], block_norm=block_norm,
+      last_norm=block_norm, block_coloring=spec["coloring"],
       last_coloring=spec["coloring"], ns_iters=ns_iters,
       ns_scaling=ns_scaling, dtype=dtype)
   dcfg = DiscriminatorConfig(
       arch=spec["arch"], resolution=spec["res"], filters=df,
       downsample=down, num_classes=spec["ncls"],
-      projection=spec["ncls"] > 0, ns_iters=ns_iters,
-      ns_scaling=ns_scaling, dtype=dtype)
+      projection=spec["ncls"] > 0 and not acgan, ac_gan=acgan,
+      ns_iters=ns_iters, ns_scaling=ns_scaling, dtype=dtype)
   return Generator(cfg=gcfg), Discriminator(cfg=dcfg), spec
 
 
 def build_bench(config: str, batch: int = 64, dtype: str = "bfloat16",
                 ns_iters: int = 15, ns_scaling: str = "trace",
                 d_fake_stats: str = "batch", unroll_d_scan: bool = False,
-                donate: bool = True, zdim: int = 128):
+                donate: bool = True, zdim: int = 128,
+                block_norm: str = "d"):
   """Everything a perf tool needs for one measured program.
 
   Returns ``(step_fn, state, (real, labels), spec)`` with spec carrying
@@ -85,11 +92,13 @@ def build_bench(config: str, batch: int = 64, dtype: str = "bfloat16",
   from wcgan_tpu.train.step import GANConfig, make_jit_step
 
   g, d, spec = build_models(config, dtype=dtype, ns_iters=ns_iters,
-                            ns_scaling=ns_scaling, zdim=zdim)
+                            ns_scaling=ns_scaling, zdim=zdim,
+                            block_norm=block_norm)
   res, ncls, ratio = spec["res"], spec["ncls"], spec["ratio"]
   cfg = GANConfig(loss=spec["loss"], training_ratio=ratio,
                   generator_batch_multiple=2, z_dim=zdim,
                   random_flip=True, num_classes=ncls,
+                  gan_type="acgan" if spec.get("acgan") else "gan",
                   d_fake_stats=d_fake_stats, unroll_d_scan=unroll_d_scan)
   g_tx, d_tx = schedules.adam(2e-4), schedules.adam(2e-4)
   state = create_state(g, d, g_tx, d_tx, jax.random.PRNGKey(0),
