@@ -23,13 +23,16 @@ import time
 
 # The reference TF/Keras-on-V100 G+D step throughput was never published.
 # Denominator = MEASURED same-math reference-style TF proxy on this host's
-# CPU (scripts/baseline_proxy.py --impl tf: graph-mode TF, one dispatch +
-# host feed per update, Cholesky WC + SN ResNet — 7.86 imgs/sec on the
-# 1-core AVX-512 Xeon @2.1GHz), scaled by the peak-f32-FLOPs CPU->V100
-# ratio 15.7 TF / 134 GF ~= 117x. Pure-FLOPs scaling ignores the
-# reference's fixed per-sess.run host overhead, so this OVERSTATES the
-# V100 baseline => vs_baseline is a lower bound. Details in BASELINE.md.
-TF_PROXY_CPU_IMGS_PER_SEC = 7.86     # measured 2026-08-16
+# CPU (scripts/baseline_proxy.py: graph-mode TF, Cholesky WC + SN
+# ResNet), scaled by the peak-f32-FLOPs CPU->V100 ratio 15.7 TF / 134 GF
+# ~= 117x. The proxy was bracketed r5 from BOTH sides (VERDICT r4 #6):
+# per-update-dispatch (the reference's sess.run model) measured
+# 7.86 (r2) / 9.99-10.22 (r5, uncontended) imgs/sec across sessions, and
+# the fully-fused tf.function variant (zero host feeds — an upper bound
+# on any TF/Keras implementation here) 10.47-10.52. vs_baseline uses the
+# bracket MAX so it stays an honest lower bound; the full range
+# (7.6x-10.2x at the r4 headline) is in BASELINE.md.
+TF_PROXY_CPU_IMGS_PER_SEC = 10.52    # bracket max, measured 2026-08-19
 CPU_TO_V100_PEAK_FLOPS = 117.0       # documented scaling factor
 BASELINE_IMGS_PER_SEC = TF_PROXY_CPU_IMGS_PER_SEC * CPU_TO_V100_PEAK_FLOPS
 

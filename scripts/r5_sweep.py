@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Round-5 on-chip measurement sweep (VERDICT r4 #1/#2/#4/#5).
+
+Runs the selected stages STRICTLY SERIALIZED (single-tenant tunnel,
+CLAUDE.md), each in a watchdogged subprocess, appending one JSON line
+per stage to the log as it completes — partial results survive a wedge,
+and a failed stage aborts the remainder (retrying into a poisoned relay
+makes it worse).
+
+Stages:
+  mfu    — scripts/mfu.py for headline + cfg1..cfg5 (per-config MFU)
+  attr   — scripts/step_attribution.py for cfg1..cfg5 (FLOPs buckets)
+  gap    — bench_ablate --gap   (headline step vs op-mix ceiling A/Bs)
+  modes  — bench_ablate --modes (dr/b norm modes at shape)
+  acgan  — bench_ablate --acgan (AC-GAN at shape vs projection control)
+
+    python scripts/r5_sweep.py --stages mfu
+    python scripts/r5_sweep.py --stages gap,modes,acgan
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir))
+
+
+def _run(cmd, timeout_s):
+  """Watchdogged subprocess; returns rc + ALL parsed JSON stdout lines
+  (revalidate_tpu._run keeps only a 200-char tail — too small for the
+  multi-variant bench_ablate stages)."""
+  t0 = time.perf_counter()
+  try:
+    proc = subprocess.run(cmd, capture_output=True, text=True,
+                          timeout=timeout_s, cwd=ROOT)
+  except subprocess.TimeoutExpired:
+    return dict(error=f"timeout after {timeout_s}s",
+                seconds=round(time.perf_counter() - t0, 1))
+  out = dict(rc=proc.returncode,
+             seconds=round(time.perf_counter() - t0, 1))
+  lines = []
+  for ln in proc.stdout.splitlines():
+    if ln.startswith("{"):
+      try:
+        lines.append(json.loads(ln))
+      except ValueError:
+        pass
+  if lines:
+    out["json"] = lines if len(lines) > 1 else lines[0]
+  if proc.returncode != 0:
+    out["stderr_tail"] = proc.stderr[-300:]
+  return out
+
+
+def stages_for(names):
+  py = sys.executable
+  out = []
+  if "mfu" in names:
+    for cfg in ("headline", "cfg1", "cfg2", "cfg3", "cfg4", "cfg5"):
+      out.append((f"mfu_{cfg}",
+                  [py, "scripts/mfu.py", "--config", cfg], 1500))
+  if "attr" in names:
+    for cfg in ("cfg1", "cfg2", "cfg3", "cfg4", "cfg5"):
+      # Unrolled-D-scan compile at 64px/1000c can take minutes; generous
+      # per-stage watchdog.
+      out.append((f"attr_{cfg}",
+                  [py, "scripts/step_attribution.py", "--config", cfg],
+                  2400))
+  if "gap" in names:
+    out.append(("gap", [py, "bench_ablate.py", "--gap"], 3600))
+  if "modes" in names:
+    out.append(("modes", [py, "bench_ablate.py", "--modes"], 3000))
+  if "acgan" in names:
+    out.append(("acgan", [py, "bench_ablate.py", "--acgan"], 1800))
+  return out
+
+
+def main() -> int:
+  p = argparse.ArgumentParser()
+  p.add_argument("--stages", default="mfu",
+                 help="comma list of mfu,attr,gap,modes,acgan")
+  p.add_argument("--log", default="/tmp/r5_sweep.jsonl")
+  p.add_argument("--probe-timeout", type=int, default=180)
+  a = p.parse_args()
+  names = [s.strip() for s in a.stages.split(",") if s.strip()]
+  py = sys.executable
+
+  def log(rec):
+    with open(a.log, "a") as f:
+      f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec), flush=True)
+
+  probe = _run([py, "scripts/tunnel_probe.py",
+                "--timeout", str(a.probe_timeout)], a.probe_timeout + 60)
+  log(dict(stage="probe", **probe))
+  if probe.get("rc") != 0:
+    return 1
+
+  stages = stages_for(names)
+  for i, (name, cmd, timeout_s) in enumerate(stages):
+    res = _run(cmd, timeout_s)
+    log(dict(stage=name, **res))
+    if res.get("rc") != 0:
+      log(dict(stage="ABORT", failed=name,
+               remaining=[s[0] for s in stages[i + 1:]],
+               note="give the relay a >=5-min full quiet period before "
+                    "retrying (CLAUDE.md)"))
+      return 1
+  return 0
+
+
+if __name__ == "__main__":
+  raise SystemExit(main())
