@@ -26,6 +26,11 @@ def main(argv=None) -> int:
   ap.add_argument("--name", required=True)
   ap.add_argument("--samples", type=int, default=640)
   ap.add_argument("--block_coloring", default="ucconv")
+  ap.add_argument("--gan_type", default="PROJECTIVE",
+                  choices=["PROJECTIVE", "AC_GAN"],
+                  help="must match the training run (the D head differs "
+                       "— projection embedding vs fc_cls aux classifier "
+                       "— so the restore template must too)")
   ap.add_argument("--generator_ema", type=float, default=0.0,
                   help="must match the training run (restore template "
                        "shape)")
@@ -41,7 +46,7 @@ def main(argv=None) -> int:
   judge = LogisticRegression(max_iter=2000).fit(
       d.images.reshape(len(d.images), -1), d.target)
 
-  run_argv = ["--dataset", "digits", "--gan_type", "PROJECTIVE",
+  run_argv = ["--dataset", "digits", "--gan_type", args.gan_type,
               "--arch", "res", "--batch_size", "64", "--bf16",
               "--generator_block_coloring", args.block_coloring,
               "--generator_last_coloring", args.block_coloring,
