@@ -57,15 +57,15 @@ def _run(cmd, timeout_s):
   return out
 
 
-def stages_for(names):
+def stages_for(names, mfu_configs, attr_configs):
   py = sys.executable
   out = []
   if "mfu" in names:
-    for cfg in ("headline", "cfg1", "cfg2", "cfg3", "cfg4", "cfg5"):
+    for cfg in mfu_configs:
       out.append((f"mfu_{cfg}",
                   [py, "scripts/mfu.py", "--config", cfg], 1500))
   if "attr" in names:
-    for cfg in ("cfg1", "cfg2", "cfg3", "cfg4", "cfg5"):
+    for cfg in attr_configs:
       # Unrolled-D-scan compile at 64px/1000c can take minutes; generous
       # per-stage watchdog.
       out.append((f"attr_{cfg}",
@@ -84,6 +84,11 @@ def main() -> int:
   p = argparse.ArgumentParser()
   p.add_argument("--stages", default="mfu",
                  help="comma list of mfu,attr,gap,modes,acgan")
+  p.add_argument("--mfu-configs",
+                 default="headline,cfg1,cfg2,cfg3,cfg4,cfg5",
+                 help="resume aid: subset of configs for the mfu stage")
+  p.add_argument("--attr-configs", default="cfg1,cfg2,cfg3,cfg4,cfg5",
+                 help="resume aid: subset of configs for the attr stage")
   p.add_argument("--log", default="/tmp/r5_sweep.jsonl")
   p.add_argument("--probe-timeout", type=int, default=180)
   a = p.parse_args()
@@ -101,7 +106,10 @@ def main() -> int:
   if probe.get("rc") != 0:
     return 1
 
-  stages = stages_for(names)
+  stages = stages_for(
+      names,
+      [c.strip() for c in a.mfu_configs.split(",") if c.strip()],
+      [c.strip() for c in a.attr_configs.split(",") if c.strip()])
   for i, (name, cmd, timeout_s) in enumerate(stages):
     res = _run(cmd, timeout_s)
     log(dict(stage=name, **res))
