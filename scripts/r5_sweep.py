@@ -8,14 +8,20 @@ and a failed stage aborts the remainder (retrying into a poisoned relay
 makes it worse).
 
 Stages:
-  mfu    — scripts/mfu.py for headline + cfg1..cfg5 (per-config MFU)
-  attr   — scripts/step_attribution.py for cfg1..cfg5 (FLOPs buckets)
-  gap    — bench_ablate --gap   (headline step vs op-mix ceiling A/Bs)
-  modes  — bench_ablate --modes (dr/b norm modes at shape)
-  acgan  — bench_ablate --acgan (AC-GAN at shape vs projection control)
+  mfu     — scripts/mfu.py for headline + cfg1..cfg5 (per-config MFU)
+  attr    — scripts/step_attribution.py for cfg1..cfg5 (FLOPs buckets)
+  gap     — bench_ablate --gap   (headline step vs op-mix ceiling A/Bs)
+  modes   — bench_ablate --modes (dr/b norm modes at shape)
+  acgan   — bench_ablate --acgan (AC-GAN at shape vs projection control)
+  digits  — AC-GAN + EMA 300-epoch digits runs with their evals
+            (VERDICT r4 #4b/#7: fidelity under the independent judge;
+            EMA-vs-raw feature-FID A/B on the SAME checkpoints)
+  soakdr  — 10k-outer-step `dr` norm soak at the cfg2 shape (#5)
+  soakrun — 100k `--d_fake_stats running --wc_momentum 0.9` soak (#3a)
 
     python scripts/r5_sweep.py --stages mfu
     python scripts/r5_sweep.py --stages gap,modes,acgan
+    python scripts/r5_sweep.py --stages digits,soakdr,soakrun
 """
 
 from __future__ import annotations
@@ -30,10 +36,12 @@ import time
 ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir))
 
 
-def _run(cmd, timeout_s):
+def _run(cmd, timeout_s, keep_stdout=False):
   """Watchdogged subprocess; returns rc + ALL parsed JSON stdout lines
   (revalidate_tpu._run keeps only a 200-char tail — too small for the
-  multi-variant bench_ablate stages)."""
+  multi-variant bench_ablate stages). keep_stdout additionally records
+  a raw stdout tail, for evaluation stages that print markdown tables
+  rather than JSON."""
   t0 = time.perf_counter()
   try:
     proc = subprocess.run(cmd, capture_output=True, text=True,
@@ -52,6 +60,8 @@ def _run(cmd, timeout_s):
         pass
   if lines:
     out["json"] = lines if len(lines) > 1 else lines[0]
+  if keep_stdout:
+    out["stdout_tail"] = proc.stdout[-4000:]
   if proc.returncode != 0:
     out["stderr_tail"] = proc.stderr[-300:]
   return out
@@ -77,6 +87,64 @@ def stages_for(names, mfu_configs, attr_configs):
     out.append(("modes", [py, "bench_ablate.py", "--modes"], 3000))
   if "acgan" in names:
     out.append(("acgan", [py, "bench_ablate.py", "--acgan"], 1800))
+  if "digits" in names:
+    # Mirrors the proven README r3 digits recipe (~6 min/run on-chip).
+    digits = ["--dataset", "digits", "--arch", "res",
+              "--batch_size", "64",
+              "--generator_block_coloring", "ucconv",
+              "--generator_last_coloring", "ucconv", "--bf16",
+              "--number_of_epochs", "300", "--checkpoint_ratio", "25",
+              "--display_ratio", "50"]
+    out.append(("digits_acgan_train",
+                [py, "run.py", "--gan_type", "AC_GAN"] + digits +
+                ["--output_dir", "/tmp/digits_acgan_out",
+                 "--checkpoints_dir", "/tmp/digits_acgan_ckpt",
+                 "--name", "digits_acgan_r5"], 2400))
+    out.append(("digits_acgan_fidelity",
+                [py, "scripts/eval_conditional_fidelity.py",
+                 "--checkpoints_dir", "/tmp/digits_acgan_ckpt",
+                 "--name", "digits_acgan_r5", "--gan_type", "AC_GAN"],
+                1200, True))
+    out.append(("digits_ema_train",
+                [py, "run.py", "--gan_type", "PROJECTIVE"] + digits +
+                ["--generator_ema", "0.999",
+                 "--output_dir", "/tmp/digits_ema_out",
+                 "--checkpoints_dir", "/tmp/digits_ema_ckpt",
+                 "--name", "digits_ema_r5"], 2400))
+    for mode in ("auto", "raw"):  # auto = EMA params; raw = same ckpts
+      out.append((f"digits_ema_fid_{mode}",
+                  [py, "scripts/eval_digits_fid.py",
+                   "--checkpoints_dir", "/tmp/digits_ema_ckpt",
+                   "--output_dir", "/tmp/digits_ema_out",
+                   "--name", "digits_ema_r5",
+                   "--generator_ema", "0.999", "--sample_from", mode],
+                  1800, True))
+  if "soakdr" in names:
+    # VERDICT r4 #5: dr whitens from EMA-lagged running stats — the
+    # same mechanism behind the d_fake_stats=running drift — so it
+    # gets the same 10k-outer-step health soak at the cfg2 shape.
+    out.append(("soak_dr_10k",
+                [py, "run.py", "--preset", "cifar10_cwc_resnet_proj",
+                 "--dataset", "synthetic", "--synthetic_size", "16384",
+                 "--batches_per_epoch", "500",
+                 "--number_of_epochs", "20", "--bf16", "--seed", "1",
+                 "--generator_block_norm", "dr",
+                 "--generator_last_norm", "dr",
+                 "--output_dir", "/tmp/soak_r5_out",
+                 "--checkpoints_dir", "/tmp/soak_r5_ckpt",
+                 "--name", "soak_dr_r5"], 2400))
+  if "soakrun" in names:
+    # VERDICT r4 #3a: extend the mitigated running-stats soak to 100k
+    # outer steps — does the residual plateau or cross 1e-2?
+    out.append(("soak_running_100k",
+                [py, "run.py", "--preset", "cifar10_cwc_resnet_proj",
+                 "--dataset", "synthetic", "--synthetic_size", "16384",
+                 "--batches_per_epoch", "500",
+                 "--number_of_epochs", "200", "--bf16", "--seed", "3",
+                 "--d_fake_stats", "running", "--wc_momentum", "0.9",
+                 "--output_dir", "/tmp/soak_r5_out",
+                 "--checkpoints_dir", "/tmp/soak_r5_ckpt",
+                 "--name", "soak_run100k_r5"], 9000))
   return out
 
 
@@ -110,8 +178,10 @@ def main() -> int:
       names,
       [c.strip() for c in a.mfu_configs.split(",") if c.strip()],
       [c.strip() for c in a.attr_configs.split(",") if c.strip()])
-  for i, (name, cmd, timeout_s) in enumerate(stages):
-    res = _run(cmd, timeout_s)
+  for i, stage in enumerate(stages):
+    name, cmd, timeout_s = stage[:3]
+    keep = stage[3] if len(stage) > 3 else False
+    res = _run(cmd, timeout_s, keep_stdout=keep)
     log(dict(stage=name, **res))
     if res.get("rc") != 0:
       log(dict(stage="ABORT", failed=name,
