@@ -34,6 +34,13 @@ def main(argv=None) -> int:
   ap.add_argument("--generator_ema", type=float, default=0.0,
                   help="must match the training run (restore template "
                        "shape)")
+  ap.add_argument("--sample_from", choices=("auto", "raw"),
+                  default="auto",
+                  help="auto = the sampler's own rule (EMA params when "
+                       "the run trained with --generator_ema); raw = "
+                       "drop the restored EMA shadow and sample from "
+                       "the raw parameters — the EMA-vs-raw fidelity "
+                       "A/B on the same checkpoint")
   args = ap.parse_args(argv)
 
   import jax.numpy as jnp
@@ -60,6 +67,10 @@ def main(argv=None) -> int:
     print(f"no checkpoint under {args.checkpoints_dir}/{args.name}")
     return 1
   trainer.restore_checkpoint(latest)
+  if args.sample_from == "raw" and trainer.state.g_ema:
+    # Same mechanism as eval_digits_fid: drop the restored EMA shadow
+    # so the sampling rule (EMA-if-present) falls through to raw params.
+    trainer.state = trainer.state.replace(g_ema={})
 
   n = args.samples - args.samples % 10
   rng = np.random.default_rng(0)

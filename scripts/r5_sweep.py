@@ -119,6 +119,12 @@ def stages_for(names, mfu_configs, attr_configs):
                    "--name", "digits_ema_r5",
                    "--generator_ema", "0.999", "--sample_from", mode],
                   1800, True))
+      out.append((f"digits_ema_fidelity_{mode}",
+                  [py, "scripts/eval_conditional_fidelity.py",
+                   "--checkpoints_dir", "/tmp/digits_ema_ckpt",
+                   "--name", "digits_ema_r5",
+                   "--generator_ema", "0.999", "--sample_from", mode],
+                  1200, True))
   if "soakdr" in names:
     # VERDICT r4 #5: dr whitens from EMA-lagged running stats — the
     # same mechanism behind the d_fake_stats=running drift — so it
