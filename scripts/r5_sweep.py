@@ -72,15 +72,20 @@ def stages_for(names, mfu_configs, attr_configs):
   out = []
   if "mfu" in names:
     for cfg in mfu_configs:
+      # 2100s: cfg3 measured 1130s against the original 1500s budget —
+      # most of it 1-core tracing/compile of the unrolled FLOP-count
+      # program, and the 64px configs trace bigger programs still.
       out.append((f"mfu_{cfg}",
-                  [py, "scripts/mfu.py", "--config", cfg], 1500))
+                  [py, "scripts/mfu.py", "--config", cfg], 2100))
   if "attr" in names:
     for cfg in attr_configs:
       # Unrolled-D-scan compile at 64px/1000c can take minutes; generous
-      # per-stage watchdog.
+      # per-stage watchdog. keep_stdout=True: attribution prints a
+      # markdown table, not JSON — without it the table is discarded
+      # (lost attr_cfg1's output in the first r5 pass).
       out.append((f"attr_{cfg}",
                   [py, "scripts/step_attribution.py", "--config", cfg],
-                  2400))
+                  2400, True))
   if "gap" in names:
     out.append(("gap", [py, "bench_ablate.py", "--gap"], 3600))
   if "modes" in names:
