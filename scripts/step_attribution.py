@@ -123,6 +123,24 @@ def attribute(hlo_text: str):
       if cout is None:
         cout = kshape[-1] if kshape else 1
       flops = 2.0 * _prod(out_shape) * _prod(kshape) / max(cout, 1)
+      # lhs_dilate convs interleave zeros into the lhs: only
+      # ~1/prod(dilation) of the window taps hit data, and XLA's
+      # cost_analysis counts accordingly. Two producers here (both
+      # measured r5): (a) stride-2 ConvTranspose fwd / strided-conv
+      # input grads — the DCGAN cfg1 path ran 2.07x XLA's total
+      # (0.251 vs 0.121 TFLOP) before this; (b) the TPU backend lowers
+      # BATCHED dot_general to `convolution-base-dilated` with the
+      # batch dim as a spatial window of size=B, lhs_dilate=B
+      # (dim_labels 0bf_0oi->0bf) — the conditional per-image fold/
+      # apply einsums parsed 128x over (cfg2: 28.5 parsed vs 4.0 XLA
+      # TFLOP, a physically impossible 733 TFLOP/s at the measured
+      # step time). Exact when window size is divisible by the
+      # dilation (4x4/2 ConvTranspose, size=B/dilate=B batch windows);
+      # ceil(w/d) rounding makes it a slight undercount otherwise.
+      ld = re.search(r"lhs_dilate=([\dx]+)", line)
+      if ld:
+        for d in ld.group(1).split("x"):
+          flops /= max(int(d), 1)
     elif " dot(" in line:
       kind = "dot"
       ops = re.search(r"dot\(([^)]*)\)", line)
