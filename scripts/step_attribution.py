@@ -123,24 +123,48 @@ def attribute(hlo_text: str):
       if cout is None:
         cout = kshape[-1] if kshape else 1
       flops = 2.0 * _prod(out_shape) * _prod(kshape) / max(cout, 1)
-      # lhs_dilate convs interleave zeros into the lhs: only
-      # ~1/prod(dilation) of the window taps hit data, and XLA's
-      # cost_analysis counts accordingly. Two producers here (both
-      # measured r5): (a) stride-2 ConvTranspose fwd / strided-conv
-      # input grads — the DCGAN cfg1 path ran 2.07x XLA's total
-      # (0.251 vs 0.121 TFLOP) before this; (b) the TPU backend lowers
-      # BATCHED dot_general to `convolution-base-dilated` with the
-      # batch dim as a spatial window of size=B, lhs_dilate=B
-      # (dim_labels 0bf_0oi->0bf) — the conditional per-image fold/
-      # apply einsums parsed 128x over (cfg2: 28.5 parsed vs 4.0 XLA
-      # TFLOP, a physically impossible 733 TFLOP/s at the measured
-      # step time). Exact when window size is divisible by the
-      # dilation (4x4/2 ConvTranspose, size=B/dilate=B batch windows);
-      # ceil(w/d) rounding makes it a slight undercount otherwise.
+      # Not every window tap hits data, and XLA's cost_analysis only
+      # counts the ones that do. Effective taps per spatial dim
+      #   = min(ceil(window / lhs_dilate), lhs spatial extent).
+      # Three dot/conv lowering forms need this (all measured r5):
+      # (a) stride-2 ConvTranspose fwd / strided-conv input grads
+      #     (lhs_dilate=2) — the DCGAN cfg1 path parsed 2.07x XLA's
+      #     total (0.251 vs 0.121 TFLOP) before;
+      # (b) BATCHED dot_general as `convolution-base-dilated` with a
+      #     size=B, lhs_dilate=B batch window (dim_labels 0bf_0oi->0bf)
+      #     — the conditional fold/apply einsums parsed 128x over
+      #     (cfg2: 28.5 parsed vs 4.0 XLA TFLOP, a physically
+      #     impossible 733 TFLOP/s at the measured step time);
+      # (c) small-contraction dots as pad-heavy rhs_reversal convs:
+      #     cfg4's soft-assignment fold nk,koc->noc (k=10) lowers to
+      #     window={size=512 pad=511_511 rhs_reversal=1} over a
+      #     LENGTH-1 lhs spatial dim — 511 of 512 taps are padding
+      #     zeros, a 512x overcount (5.48 parsed TFLOP of whiten-f32
+      #     that implied 128.7 model TFLOP/s against a 107 TFLOP/s
+      #     mix-adjusted ceiling).
+      # Boundary padding on ordinary convs is still charged in full,
+      # which is the measured +5-6% parsed-vs-XLA residual on the
+      # kernel-grad-heavy configs.
+      wsz = re.search(r"window=\{[^}]*size=([\dx]+)", line)
       ld = re.search(r"lhs_dilate=([\dx]+)", line)
-      if ld:
-        for d in ld.group(1).split("x"):
-          flops /= max(int(d), 1)
+      lhs_spatial = {}
+      if dl and operands[0] in shapes:
+        lhs_labels = dl.group(1).split("->")[0].split("_")[0]
+        _, lsh = shapes[operands[0]]
+        if len(lsh) == len(lhs_labels):
+          for pos, ch in enumerate(lhs_labels):
+            if ch.isdigit():
+              lhs_spatial[int(ch)] = lsh[pos]
+      if wsz:
+        sizes = [int(x) for x in wsz.group(1).split("x")]
+        dils = ([int(x) for x in ld.group(1).split("x")]
+                if ld else [1] * len(sizes))
+        for i, w in enumerate(sizes):
+          d = dils[i] if i < len(dils) else 1
+          taps = (w + d - 1) // d
+          if i in lhs_spatial:
+            taps = min(taps, lhs_spatial[i])
+          flops = flops / w * taps
     elif " dot(" in line:
       kind = "dot"
       ops = re.search(r"dot\(([^)]*)\)", line)
@@ -181,6 +205,9 @@ def main() -> int:
   ap.add_argument("--dump_ops", type=int, default=0,
                   help="print the N largest individual ops")
   ap.add_argument("--platform", default="auto")
+  ap.add_argument("--save_hlo", default="",
+                  help="write the optimized HLO text here so parser "
+                       "fixes can iterate offline (no chip re-runs)")
   ap.add_argument("--ns_iters", type=int, default=15)
   ap.add_argument("--batch", type=int, default=64)
   a = ap.parse_args()
@@ -209,6 +236,9 @@ def main() -> int:
   if isinstance(cost, list):
     cost = cost[0]
   hlo = compiled.as_text()
+  if a.save_hlo:
+    with open(a.save_hlo, "w") as f:
+      f.write(hlo)
   buckets, rows = attribute(hlo)
 
   total = sum(f for dd in buckets.values() for f in dd.values())

@@ -64,6 +64,25 @@ def test_conv_transpose_lhs_dilate_discount():
   assert _total(buckets) == 2 * (8 * 16 * 16 * 32) * (4 * 4 * 16) // 4
 
 
+def test_small_contraction_dot_as_padded_reversal_conv():
+  # Verbatim shape of the measured cfg4 TPU lowering of the
+  # soft-assignment fold einsum('nk,koc->noc') at k=10, c=512: the dot
+  # becomes a window={size=512 pad=511_511 rhs_reversal=1} conv over a
+  # LENGTH-1 lhs spatial dim, so 511 of every 512 window taps are
+  # padding zeros. True FLOPs = 2*n*o*c*k; the full-tap count is 512x
+  # that (5.48 parsed TFLOP of whiten-f32 on cfg4, implying an
+  # impossible 128.7 model TFLOP/s against the 107 TFLOP/s
+  # mix-adjusted ceiling).
+  hlo = """
+  %a4 = f32[128,10,1]{1,0,2} parameter(0)
+  %b4 = f32[10,512,512]{2,0,1} parameter(1)
+  %conv4 = f32[128,512,512]{2,0,1} convolution(%a4, %b4), window={size=512 pad=511_511 rhs_reversal=1}, dim_labels=bf0_i0o->b0f, operand_precision={highest,highest}, metadata={op_name="jit(outer_step)/jvp(Generator)/block1/nc1/nc1._fused_wc_cond/nk,koc->noc/dot_general"}
+  """
+  buckets, _ = attribute(hlo)
+  assert _total(buckets) == 2 * 128 * 512 * 512 * 10
+  assert set(buckets) == {"whiten"}
+
+
 def test_true_dot_unaffected():
   hlo = """
   %l1 = f32[64,128]{1,0} parameter(0)
