@@ -438,6 +438,17 @@ class NormColor(nn.Module):
                          (self.filters_emb, c, c), pd)
       emb = self.param("embedding", nn.initializers.ones,
                        (self.num_classes, self.filters_emb), pd)
+      # This K-contraction dot lowers on the TPU backend as a
+      # window={size=C pad=(C-1)_(C-1) rhs_reversal=1} convolution over
+      # a length-1 lhs spatial dim. That looks pathological (511/512
+      # window taps are padding at C=512) but is measured FASTER than
+      # the alternative: forcing a flat (N,K)x(K,C*C) GEMM via
+      # matmul+optimization_barrier re-lowered cfg4 at 108.5 ms/step vs
+      # 101.1 ms for this form (r5 on-chip A/B; BASELINE.md) — a K=10
+      # contraction runs the 128-deep MXU at ~8% while the conv form
+      # contracts over the C-wide window, and the hardware does not pay
+      # for the padded taps (XLA cost_analysis counts valid taps only
+      # and its count is consistent with the measured step time).
       g_img = jnp.einsum("nk,koc->noc", emb[labels], basis,
                          precision=lax.Precision.HIGHEST)
     beta_c = self.param("beta_c", nn.initializers.zeros,

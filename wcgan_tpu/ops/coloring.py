@@ -109,6 +109,10 @@ def color_cond_sa(
     beta_emb:  (num_classes, C_out) per-class bias.
   """
   a = embedding[labels]                              # (N, K)
+  # The einsum lowers on TPU as a pad-heavy rhs_reversal convolution;
+  # that is the FAST form — the flat-GEMM alternative measured 7%
+  # slower at cfg4 (r5 negative result, see models/layers.py same
+  # fold for the full story).
   g_img = jnp.einsum("nk,koc->noc", a, basis, precision=_HIGHEST)
   out = _cond_apply(x_nsc, g_img, beta_emb[labels])
   return _add_agnostic(out, x_nsc, gamma_a, beta_a)
