@@ -213,11 +213,18 @@ def main(argv=None) -> int:
   traj = []
   for ep in epochs:
     trainer.restore_checkpoint(trainer.checkpoint_path(ep))
+    # Full restored state — the orbax restore template for the NEXT
+    # epoch (restore_checkpoint passes trainer.state as the template, so
+    # sampling-time mutations must not leak into it; dropping g_ema here
+    # made every restore after the first fail with a structure mismatch
+    # — r5 sweep abort, 2026-08-20).
+    restored = trainer.state
     if args.sample_from == "raw" and trainer.state.g_ema:
       # Drop the restored EMA shadow so Trainer.generate's sampling rule
       # (EMA-if-present) falls through to the raw parameters.
       trainer.state = trainer.state.replace(g_ema={})
     fake_u8 = trainer.generate(args.samples)
+    trainer.state = restored
     feats_fake, probs_fake = judge_fn(fake_u8)
     fid = fid_between(feats_fake, feats_real)
     is_m, is_s = is_of(probs_fake)
