@@ -34,13 +34,16 @@ def main(argv=None) -> int:
   ap.add_argument("--generator_ema", type=float, default=0.0,
                   help="must match the training run (restore template "
                        "shape)")
-  ap.add_argument("--sample_from", choices=("auto", "raw"),
+  ap.add_argument("--sample_from", choices=("auto", "raw", "running"),
                   default="auto",
-                  help="auto = the sampler's own rule (EMA params when "
-                       "the run trained with --generator_ema); raw = "
-                       "drop the restored EMA shadow and sample from "
-                       "the raw parameters — the EMA-vs-raw fidelity "
-                       "A/B on the same checkpoint")
+                  help="auto = the sampler's own rule (EMA params + "
+                       "standing stats when the run trained with "
+                       "--generator_ema); raw = drop the restored EMA "
+                       "shadow and sample from the raw parameters; "
+                       "running = EMA params against the raw "
+                       "trajectory's running stats (the pre-r5 "
+                       "behavior, kept measurable) — the three arms of "
+                       "the EMA A/B on the same checkpoint")
   args = ap.parse_args(argv)
 
   import jax.numpy as jnp
@@ -71,13 +74,15 @@ def main(argv=None) -> int:
     # Same mechanism as eval_digits_fid: drop the restored EMA shadow
     # so the sampling rule (EMA-if-present) falls through to raw params.
     trainer.state = trainer.state.replace(g_ema={})
+  if args.sample_from == "running":
+    trainer.cfg.ema_standing_batches = 0
 
   n = args.samples - args.samples % 10
   rng = np.random.default_rng(0)
   req = np.tile(np.arange(10, dtype=np.int32), n // 10)
   z = rng.standard_normal((n, trainer.gan_cfg.z_dim)).astype(np.float32)
-  imgs = np.asarray(trainer._sample(trainer.state, jnp.asarray(z),
-                                    jnp.asarray(req)))
+  imgs = np.asarray(trainer._sample(trainer.sampling_state(),
+                                    jnp.asarray(z), jnp.asarray(req)))
   u8 = (np.clip(imgs, -1, 1) * 127.5 + 127.5)[..., 0]
   small = u8.reshape(n, 8, 2, 8, 2).mean((2, 4)) / 255.0 * 16.0
   pred = judge.predict(small.reshape(n, -1))

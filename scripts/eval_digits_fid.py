@@ -129,13 +129,17 @@ def main(argv=None) -> int:
                        "size of the real digits set, for a balanced FID)")
   ap.add_argument("--block_coloring", default="ucconv")
   ap.add_argument("--generator_ema", type=float, default=0.0)
-  ap.add_argument("--sample_from", choices=("auto", "raw"), default="auto",
+  ap.add_argument("--sample_from", choices=("auto", "raw", "running"),
+                  default="auto",
                   help="'auto' = the trainer's sampling rule (EMA weights "
-                       "when the run trained with --generator_ema, raw "
-                       "otherwise); 'raw' = force raw g_params even on an "
-                       "EMA checkpoint — the two halves of the EMA A/B "
+                       "+ standing stats when the run trained with "
+                       "--generator_ema, raw otherwise); 'raw' = force "
+                       "raw g_params even on an EMA checkpoint; "
+                       "'running' = EMA weights against the raw "
+                       "trajectory's running stats (pre-r5 behavior, "
+                       "kept measurable) — three arms of the EMA A/B "
                        "from ONE training run (the EMA is a passive "
-                       "shadow, so one run carries both weight sets)")
+                       "shadow, so one run carries every weight set)")
   ap.add_argument("--bf16", type=int, default=1,
                   help="must match the training run")
   ap.add_argument("--platform", default="auto")
@@ -160,6 +164,8 @@ def main(argv=None) -> int:
   if args.bf16:
     run_argv.append("--bf16")
   trainer = build_experiment(build_parser().parse_args(run_argv))
+  if args.sample_from == "running":
+    trainer.cfg.ema_standing_batches = 0
 
   ckpt_root = trainer.ckpt_dir
   epochs = []

@@ -168,6 +168,12 @@ def main() -> int:
                  help="resume aid: subset of configs for the mfu stage")
   p.add_argument("--attr-configs", default="cfg1,cfg2,cfg3,cfg4,cfg5",
                  help="resume aid: subset of configs for the attr stage")
+  p.add_argument("--only", default="",
+                 help="resume aid: comma list of exact stage names to run "
+                      "(filters the expansion of --stages; e.g. "
+                      "--stages digits --only digits_ema_fid_raw,"
+                      "digits_ema_fidelity_raw re-runs just the two "
+                      "stages the 2026-08-20 abort left behind)")
   p.add_argument("--log", default="/tmp/r5_sweep.jsonl")
   p.add_argument("--probe-timeout", type=int, default=180)
   a = p.parse_args()
@@ -189,6 +195,9 @@ def main() -> int:
       names,
       [c.strip() for c in a.mfu_configs.split(",") if c.strip()],
       [c.strip() for c in a.attr_configs.split(",") if c.strip()])
+  if a.only:
+    keep = {s.strip() for s in a.only.split(",") if s.strip()}
+    stages = [s for s in stages if s[0] in keep]
   for i, stage in enumerate(stages):
     name, cmd, timeout_s = stage[:3]
     keep = stage[3] if len(stage) > 3 else False

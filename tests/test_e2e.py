@@ -450,3 +450,63 @@ def test_generator_ema_sampling_and_raw_override(tmp_path):
   for a, b in zip(leaves_ema,
                   jax.tree_util.tree_leaves(trainer2.state.g_ema)):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ema_standing_stats_exact_swap_and_cache(tmp_path):
+  """--ema_standing_stats (r5): EMA sampling must not reuse the raw
+  trajectory's running stats (measured-broken through full-covariance
+  whitening — digits fidelity 0.64 vs 0.87 standing, BASELINE.md r5).
+  sampling_state() swaps in stats re-estimated under the EMA params:
+  with n=1 the swap equals the un-EMA inversion of one direct
+  train-mode apply; the training state stays untouched; the cache
+  holds until the EMA shadow object changes; n=0 restores the old
+  behavior."""
+  import jax
+  import jax.numpy as jnp
+  from wcgan_tpu.cli.run import build_parser, build_experiment
+  argv = TINY + ["--generator_ema", "0.5", "--ema_standing_stats", "1",
+                 "--output_dir", str(tmp_path / "o"),
+                 "--checkpoints_dir", str(tmp_path / "c"),
+                 "--number_of_epochs", "1", "--name", "ema_ss"]
+  trainer = build_experiment(build_parser().parse_args(argv))
+  trainer.train()
+  state = trainer.state
+
+  ss = trainer.sampling_state()
+  # Training state untouched; stats actually swapped.
+  assert ss.g_state is not state.g_state
+  assert trainer.state.g_state is state.g_state
+  flat = lambda t: jax.tree_util.tree_leaves(t)
+  assert any(not np.allclose(np.asarray(a), np.asarray(b))
+             for a, b in zip(flat(ss.g_state["wc_stats"]),
+                             flat(state.g_state["wc_stats"])))
+
+  # Exactness at n=1: the swapped stats equal the un-EMA inversion of
+  # one direct train-mode apply under the EMA params with the method's
+  # own z/label stream (rng_seed=4321, one batch).
+  m = trainer.g.cfg.wc_momentum
+  rng = np.random.default_rng(4321)
+  b = trainer.ds.batch_size
+  z = jnp.asarray(rng.standard_normal((b, trainer.gan_cfg.z_dim))
+                  .astype(np.float32))
+  _, mut = trainer.g.apply(
+      {"params": state.g_ema, **state.g_state}, z, None, train=True,
+      mutable=list(state.g_state.keys()))
+  expected = jax.tree_util.tree_map(
+      lambda new, old: (np.asarray(new, np.float32)
+                        - m * np.asarray(old, np.float32)) / (1.0 - m),
+      mut["wc_stats"], state.g_state["wc_stats"])
+  for a, b_ in zip(flat(ss.g_state["wc_stats"]), flat(expected)):
+    np.testing.assert_allclose(np.asarray(a, np.float32), b_,
+                               rtol=1e-4, atol=1e-4)
+
+  # Cache: same EMA shadow object -> same standing g_state object; a new
+  # shadow (fresh pytree, e.g. after a step or restore) -> recompute.
+  assert trainer.sampling_state().g_state is ss.g_state
+  trainer.state = state.replace(
+      g_ema=jax.tree_util.tree_map(lambda x: x, state.g_ema))
+  assert trainer.sampling_state().g_state is not ss.g_state
+
+  # n=0 disables the swap (pre-r5 behavior, kept measurable).
+  trainer.cfg.ema_standing_batches = 0
+  assert trainer.sampling_state() is trainer.state

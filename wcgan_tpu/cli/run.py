@@ -126,6 +126,15 @@ def build_parser() -> argparse.ArgumentParser:
   p.add_argument("--generator_ema", type=float, default=0.0,
                  help="EMA decay for generator weights used at sampling "
                       "(0 = off; e.g. 0.999)")
+  p.add_argument("--ema_standing_stats", type=int, default=16,
+                 help="train-mode batches used to re-estimate G's "
+                      "normalization statistics under the EMA params "
+                      "before EMA sampling (BigGAN standing stats; only "
+                      "active with --generator_ema). 0 = sample EMA "
+                      "params against the raw trajectory's running "
+                      "stats — measured-broken through full-covariance "
+                      "whitening (digits fidelity 0.64 vs 0.87 "
+                      "standing; BASELINE.md r5)")
   p.add_argument("--random_flip", type=int, default=None,
                  help="1/0 on-device horizontal flip "
                       "(default: on for natural-image datasets)")
@@ -392,7 +401,8 @@ def build_experiment(args) -> Trainer:
       device_data_limit=args.device_data_limit,
       steps_per_call=args.steps_per_call,
       wc_residual_action=args.wc_residual_action,
-      residual_probe_every=args.residual_probe_every)
+      residual_probe_every=args.residual_probe_every,
+      ema_standing_batches=args.ema_standing_stats)
 
   mesh = None
   if args.mesh:

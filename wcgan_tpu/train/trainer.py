@@ -71,6 +71,17 @@ class TrainerConfig:
                                 # can complete inside one long epoch;
                                 # each probe costs one host sync + a
                                 # C x C fetch per WC layer (~ms)
+  ema_standing_batches: int = 16  # when sampling from the EMA generator,
+                                # re-estimate G's normalization stats
+                                # under the EMA params over this many
+                                # train-mode batches (BigGAN 'standing
+                                # statistics'); 0 = sample EMA params
+                                # against the RAW trajectory's running
+                                # stats — measured-broken through
+                                # full-covariance whitening (digits
+                                # fidelity 0.64 vs 0.87 standing vs 0.98
+                                # raw; BASELINE.md r5). No effect unless
+                                # --generator_ema is on
 
 
 class Trainer:
@@ -180,6 +191,8 @@ class Trainer:
               + 127.5).astype(jnp.uint8)
 
     self._sample_u8 = jax.jit(sample_u8)
+    self._standing_pass = None   # lazily-jitted train-mode stats probe
+    self._standing_cache = None  # (g_ema ref, standing g_state)
 
   def _epoch_batches(self) -> int:
     """Outer steps per epoch: explicit config, else dataset size / the
@@ -379,11 +392,86 @@ class Trainer:
                  d_sigma_mean=float(np.mean(sigmas)))
     return out
 
+  # -- EMA standing statistics -------------------------------------------------
+
+  _STANDING_STAT_KEYS = ("wc_stats", "batch_stats")
+
+  def standing_g_state(self, params, n_batches: int,
+                       rng_seed: int = 4321) -> Dict[str, Any]:
+    """G's normalization statistics re-estimated under ``params`` —
+    the BigGAN "standing statistics" recipe, needed because the EMA
+    shadow covers only parameters: the checkpointed running stats
+    describe the RAW trajectory's activations, and whitening with a
+    mismatched full covariance is far more destructive than the BN
+    equivalent (measured: digits fidelity 0.636 with raw-trajectory
+    stats vs 0.872 standing vs 0.869 fresh batch stats — BASELINE.md
+    r5). Runs ``n_batches`` train-mode forwards from the CURRENT stats
+    and recovers each pass's exact batch moments by inverting the EMA
+    update (batch = (new - m*old)/(1-m), exact in f32 to ~1e-5 at
+    m=0.99), then averages them equally — true standing stats, not an
+    EMA warm-up. Caveat: with `dr` norm codes the train-mode transform
+    itself reads running stats, so this single-sweep estimate is not a
+    fixed point there ('d'/'b' transforms use batch stats and are
+    exact)."""
+    gs = dict(self.state.g_state)
+    stat_keys = [k for k in self._STANDING_STAT_KEYS if k in gs]
+    if not stat_keys or n_batches <= 0:
+      return gs
+    m = float(getattr(getattr(self.g, "cfg", None), "wc_momentum", 0.99))
+    if self._standing_pass is None:
+      def standing_pass(params, g_state, z, labels):
+        variables = {"params": params, **g_state}
+        y = labels if self.gan_cfg.conditional else None
+        _, mut = self.g.apply(variables, z, y, train=True,
+                              mutable=list(g_state.keys()))
+        # Invert the EMA update to the pass's exact batch moments.
+        return {
+            k: jax.tree_util.tree_map(
+                lambda new, old: ((new.astype(jnp.float32)
+                                   - m * old.astype(jnp.float32))
+                                  / (1.0 - m)).astype(old.dtype),
+                mut[k], g_state[k])
+            for k in stat_keys}
+      self._standing_pass = jax.jit(standing_pass)
+    rng = np.random.default_rng(rng_seed)
+    b = self.ds.batch_size
+    acc = None
+    for _ in range(n_batches):
+      z = jnp.asarray(rng.standard_normal((b, self.gan_cfg.z_dim))
+                      .astype(np.float32))
+      if self.gan_cfg.conditional:
+        labels = jnp.asarray(rng.integers(
+            0, self.gan_cfg.num_classes, b).astype(np.int32))
+      else:
+        labels = jnp.zeros((b,), jnp.int32)
+      batch_stats = self._standing_pass(params, gs, z, labels)
+      acc = batch_stats if acc is None else jax.tree_util.tree_map(
+          lambda a, s: a + s, acc, batch_stats)
+    inv = 1.0 / n_batches
+    for k in stat_keys:
+      gs[k] = jax.tree_util.tree_map(lambda a: a * inv, acc[k])
+    return gs
+
+  def sampling_state(self) -> GANTrainState:
+    """The state every sampling surface (grids, ``generate``, the eval
+    scripts) should feed ``_sample``: when EMA sampling is active and
+    ``ema_standing_batches`` > 0, G's stats are swapped for standing
+    stats under the EMA params (cached per EMA-shadow object — one
+    recompute per epoch/restore, ~n_batches G forwards)."""
+    n = self.cfg.ema_standing_batches
+    if not self.state.g_ema or n <= 0:
+      return self.state
+    cache = self._standing_cache
+    if cache is None or cache[0] is not self.state.g_ema:
+      gs = self.standing_g_state(self.state.g_ema, n_batches=n)
+      cache = self._standing_cache = (self.state.g_ema, gs)
+    return self.state.replace(g_state=cache[1])
+
   # -- artifacts -------------------------------------------------------------
 
   def save_sample_grid(self, epoch: int) -> str:
     z, labels = self.ds.test_batch(self.cfg.grid_samples)
-    imgs = np.asarray(self._sample(self.state, jnp.asarray(z),
+    imgs = np.asarray(self._sample(self.sampling_state(), jnp.asarray(z),
                                    jnp.asarray(labels)))
     path = os.path.join(self.cfg.output_dir, f"epoch_{epoch:05d}.png")
     save_png(path, make_grid(imgs))
@@ -407,7 +495,7 @@ class Trainer:
                               ).astype(np.int32)
       else:
         labels = np.zeros((batch,), np.int32)
-      imgs = self._sample_u8(self.state, jnp.asarray(z),
+      imgs = self._sample_u8(self.sampling_state(), jnp.asarray(z),
                              jnp.asarray(labels))
       out.append(np.asarray(imgs)[:b])
     return np.concatenate(out)
