@@ -101,7 +101,15 @@ def build_parser() -> argparse.ArgumentParser:
   p.add_argument("--conditional", action="store_true",
                  help="class-conditional training (labels flow to G/D)")
   p.add_argument("--generator_block_norm", default="d",
-                 choices=list(NORM_CODES))
+                 choices=list(NORM_CODES),
+                 help="'d' = whiten with batch stats (default, reference "
+                      "parity); 'dr' = whiten from running stats — "
+                      "measured +14%% at shape but REJECTED by the r5 "
+                      "10k conditional soak (whitening-residual feedback "
+                      "explosion inside 2.5k outer steps, cond 2e3->3e5; "
+                      "docs/SOAK.md) — pair with --wc_residual_action "
+                      "abort if you must use it; 'b' = plain BN "
+                      "(+16%% at shape, the paper's quality baseline)")
   p.add_argument("--generator_block_coloring", default="uconv",
                  choices=list(COLORING_CODES))
   p.add_argument("--generator_last_norm", default="d",
