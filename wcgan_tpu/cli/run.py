@@ -257,7 +257,13 @@ def build_parser() -> argparse.ArgumentParser:
                       "Past ~10k steps pair it with --wc_momentum 0.9 "
                       "(also shortens warm-up to ~10 steps; measured: "
                       "3.2x lower end-of-run residual, "
-                      "near-plateaued conditioning, same throughput)")
+                      "near-plateaued conditioning, same throughput). "
+                      "100k verdict (docs/SOAK.md r5): even paired, "
+                      "the residual crosses the 1e-2 warn threshold at "
+                      "~66k outer steps and settles ~1.4e-2 (a bounded "
+                      "quasi-plateau, NOT the dr/ns12 explosion) — for "
+                      ">60k-step runs accept that characterized floor "
+                      "with monitoring, or keep the 'batch' default")
   p.add_argument("--device_data", type=int, default=1,
                  help="1 = upload the dataset to device memory once and "
                       "sample minibatches on-device (3x faster through "
