@@ -207,17 +207,20 @@ def _wc_apply_kernel(x_ref, mean_ref, cov_ref, gamma_ref, beta_ref,
     # Full _spd_jitter parity (ADVICE r4 — the 2*neg_diag SPD-safety
     # term was missing here: a diagonal that rounds slightly negative
     # under MXU emulation keeps a negative eigenvalue, and NS then
-    # diverges cubically). Diag via mask+row-sum, not jnp.diagonal —
-    # gathers don't lower in Mosaic; this is two cheap VPU reductions.
-    diag = jnp.sum(cov * ident, axis=1)
-    mean_diag = jnp.maximum(jnp.sum(diag) / c, 0.0)
-    neg_diag = jnp.maximum(-jnp.min(diag), 0.0)
+    # diverges cubically). All diagonal ops stay FULL-2D reductions
+    # over masked cov: jnp.diagonal gathers don't lower in Mosaic, and
+    # a 1-D axis=1 row-sum trips a Mosaic relayout error on real TPU
+    # ("non-singleton dimension replicated in destination", vector
+    # <1xC> — measured r5, tests/test_tpu.py), so no 1-D intermediates.
+    mean_diag = jnp.maximum(jnp.sum(cov * ident) / c, 0.0)
+    min_diag = jnp.min(jnp.where(ident != 0.0, cov, jnp.inf))
+    neg_diag = jnp.maximum(-min_diag, 0.0)
     a = cov + (eps * mean_diag + 2.0 * neg_diag + 1e-12) * ident
     # Same jitter AND convergence-normalization contract as
     # ops/whiten.py::_jittered_normalized ('trace' = IterNorm parity,
     # 'fro' = the measured faster-converging bound).
     if scaling == "trace":
-      trace = jnp.trace(a)
+      trace = jnp.sum(a * ident)
     else:
       trace = jnp.sqrt(jnp.sum(a * a))
     a = a / trace
