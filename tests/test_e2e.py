@@ -296,6 +296,93 @@ def test_residual_probe_every_fires_intra_epoch(tmp_path):
   assert "imgs/sec" not in log  # no epoch completed
 
 
+def test_wc_residual_action_fallback_running_demotes(tmp_path):
+  """--wc_residual_action fallback, rung 1: a breach under
+  d_fake_stats=running demotes to batch stats (the measured EMA-lag
+  drift source, docs/SOAK.md r4/r5), recompiles, and KEEPS TRAINING;
+  once the ladder is exhausted a later breach aborts like 'abort'.
+  whitening_precision starts at highest so rung 3 is unavailable and
+  the exhaustion path is reachable in two epochs."""
+  from wcgan_tpu.cli.run import build_parser, build_experiment
+  argv = TINY + ["--output_dir", str(tmp_path / "o"),
+                 "--checkpoints_dir", str(tmp_path / "c"),
+                 "--number_of_epochs", "2", "--batches_per_epoch", "1",
+                 "--name", "fb_run", "--checkpoint_ratio", "0",
+                 "--display_ratio", "0", "--ns_iters", "4",
+                 "--wc_momentum", "0.999",  # keep the planted cov alive
+                 "--d_fake_stats", "running",
+                 "--whitening_precision", "highest",
+                 "--wc_residual_action", "fallback"]
+  trainer = build_experiment(build_parser().parse_args(argv))
+  _plant_ill_conditioned_cov(trainer)
+  with pytest.raises(FloatingPointError, match="whitening under-converged"):
+    trainer.train()
+  assert trainer.gan_cfg.d_fake_stats == "batch"  # rung 1 applied
+  log = open(os.path.join(str(tmp_path / "o"), "fb_run", "log.txt")).read()
+  assert "demoting d_fake_stats running -> batch" in log
+  assert "ladder exhausted" in log
+  # Epoch 1 RAN on the rebuilt (batch-stats) program before exhausting:
+  # both epoch lines made it to the log.
+  assert log.count("imgs/sec") == 2
+  # Both guard checkpoints landed (pre-demotion + pre-abort states).
+  for e in ("epoch_0", "epoch_1"):
+    assert os.path.isdir(os.path.join(str(tmp_path / "c"), "fb_run", e))
+
+
+def test_wc_residual_action_fallback_dr_demotes(tmp_path):
+  """Rung 2: 'dr' norm codes demote to 'd' (the r5-measured feedback
+  explosion), the G module is REBUILT, and the next epoch trains the
+  existing state through the rebuilt programs — the param/stats tree
+  must carry over unchanged."""
+  from wcgan_tpu.cli.run import build_parser, build_experiment
+  argv = TINY + ["--output_dir", str(tmp_path / "o"),
+                 "--checkpoints_dir", str(tmp_path / "c"),
+                 "--number_of_epochs", "2", "--batches_per_epoch", "1",
+                 "--name", "fb_dr", "--checkpoint_ratio", "0",
+                 "--display_ratio", "0", "--ns_iters", "4",
+                 "--wc_momentum", "0.999",
+                 "--generator_block_norm", "dr",
+                 "--generator_last_norm", "dr",
+                 "--whitening_precision", "highest",
+                 "--wc_residual_action", "fallback"]
+  trainer = build_experiment(build_parser().parse_args(argv))
+  _plant_ill_conditioned_cov(trainer)
+  with pytest.raises(FloatingPointError, match="whitening under-converged"):
+    trainer.train()
+  assert trainer.g.cfg.block_norm == "d"
+  assert trainer.g.cfg.last_norm == "d"
+  log = open(os.path.join(str(tmp_path / "o"), "fb_dr", "log.txt")).read()
+  assert "demoting generator 'dr' norm codes -> 'd'" in log
+  assert log.count("imgs/sec") == 2  # epoch 1 trained the rebuilt module
+
+
+def test_wc_residual_action_fallback_precision_escalates(tmp_path):
+  """Rung 3: at parity settings (batch stats, 'd' norms) the only
+  residual-acting demotion left is whitening precision high -> highest;
+  the run then CONTINUES (no abort) — and the global precision is
+  restored afterwards so other tests see the default."""
+  from wcgan_tpu.cli.run import build_parser, build_experiment
+  from wcgan_tpu.ops import whiten as whiten_ops
+  argv = TINY + ["--output_dir", str(tmp_path / "o"),
+                 "--checkpoints_dir", str(tmp_path / "c"),
+                 "--number_of_epochs", "1", "--batches_per_epoch", "1",
+                 "--name", "fb_prec", "--checkpoint_ratio", "0",
+                 "--display_ratio", "0", "--ns_iters", "4",
+                 "--whitening_precision", "high",
+                 "--wc_residual_action", "fallback"]
+  trainer = build_experiment(build_parser().parse_args(argv))
+  _plant_ill_conditioned_cov(trainer)
+  try:
+    trainer.train()  # must NOT raise: the rung rescues the run
+    import jax
+    assert whiten_ops._PRECISION is jax.lax.Precision.HIGHEST
+  finally:
+    whiten_ops.set_precision("high")
+  log = open(os.path.join(str(tmp_path / "o"), "fb_prec", "log.txt")).read()
+  assert "escalating whitening precision high -> highest" in log
+  assert "aborting" not in log
+
+
 def test_residual_probe_finite_on_negative_rounded_diagonal(tmp_path):
   """Advisor r3: the live whitening probe must use ops/whiten.py's FULL
   _spd_jitter formula (incl. the 2*neg_diag term). A covariance whose

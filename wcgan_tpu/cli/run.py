@@ -169,15 +169,22 @@ def build_parser() -> argparse.ArgumentParser:
                       "conditioning drift ~3x at identical throughput; "
                       "pair them for long running-stats runs")
   p.add_argument("--wc_residual_action", default="warn",
-                 choices=["warn", "abort"],
+                 choices=["warn", "abort", "fallback"],
                  help="what the whitening-health guard does when the "
                       "live Newton-Schulz residual probe crosses 1e-2 "
                       "(or goes non-finite): 'warn' = log and continue "
                       "(default), 'abort' = checkpoint + loud stop like "
-                      "the NaN path. The measured ns12 feedback "
-                      "explosion kills a run scientifically while "
-                      "losses still look healthy (docs/SOAK.md) — "
-                      "'abort' stops the chip-time burn")
+                      "the NaN path, 'fallback' = checkpoint, demote "
+                      "the active lagged-stats mechanism to its "
+                      "measured-healthy equivalent and keep training "
+                      "(d_fake_stats running->batch, then 'dr' norms "
+                      "->'d', then whitening precision ->highest; "
+                      "aborts once the ladder is exhausted). The "
+                      "measured ns12 feedback explosion kills a run "
+                      "scientifically while losses still look healthy "
+                      "(docs/SOAK.md) — 'abort'/'fallback' stop the "
+                      "chip-time burn; 'fallback' rescues the run for "
+                      "unattended long jobs")
   p.add_argument("--residual_probe_every", type=int, default=0,
                  help="ALSO probe whitening health every N outer steps "
                       "inside the epoch (0 = per-epoch only). The "

@@ -58,12 +58,18 @@ class TrainerConfig:
                                 # (device_data only; amortizes RPC)
   wc_residual_action: str = "warn"  # what an unhealthy whitening probe
                                 # does: 'warn' (reference-era behavior —
-                                # log and keep burning chip time) or
+                                # log and keep burning chip time),
                                 # 'abort' (checkpoint + loud stop, like
                                 # the NaN path — the measured ns12
                                 # feedback explosion kills a run
                                 # scientifically while losses still look
-                                # healthy, docs/SOAK.md)
+                                # healthy, docs/SOAK.md), or 'fallback'
+                                # (checkpoint, then demote the active
+                                # lagged-stats mechanism to its measured-
+                                # healthy equivalent and keep training:
+                                # running->batch, dr->d, then precision
+                                # ->highest; aborts only once the ladder
+                                # is exhausted — _apply_whitening_fallback)
   residual_probe_every: int = 0  # ALSO probe whitening health every N
                                 # outer steps inside the epoch (0 = per
                                 # epoch only). The measured feedback
@@ -94,6 +100,7 @@ class Trainer:
     self.ds = dataset
     self.g = g_module
     self.d = d_module
+    self._g_tx, self._d_tx = g_tx, d_tx  # kept for step-fn rebuilds
     self.gan_cfg = gan_cfg
     self.cfg = cfg
     self.mesh = mesh
@@ -144,14 +151,9 @@ class Trainer:
         if self._window_elems:
           self._window_elems = n
         self._data_sharding = data_sharding(mesh)
-        self.step_fn = step_lib.make_sharded_dataset_step(
-            mesh, g_module, d_module, g_tx, d_tx, gan_cfg,
-            dataset.batch_size, steps_per_call=self._steps_per_call)
       else:
         self._data_sharding = None
-        self.step_fn = step_lib.make_jit_dataset_step(
-            g_module, d_module, g_tx, d_tx, gan_cfg, dataset.batch_size,
-            steps_per_call=self._steps_per_call)
+      self.step_fn = self._make_step_fn()
       if not self._window_elems:
         self._device_data = self._stage(np.arange(n))
       else:
@@ -162,12 +164,36 @@ class Trainer:
         self._window_exec = concurrent.futures.ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="window-stage")
         self._window_future = self._window_exec.submit(self._make_window)
-    elif mesh is not None:
-      self.step_fn = step_lib.make_sharded_step(
-          mesh, g_module, d_module, g_tx, d_tx, gan_cfg)
     else:
-      self.step_fn = step_lib.make_jit_step(
-          g_module, d_module, g_tx, d_tx, gan_cfg)
+      self.step_fn = self._make_step_fn()
+
+    self._build_samplers()
+
+  def _make_step_fn(self):
+    """The fused outer-step program for the current (G, D, gan_cfg)
+    triple — factored out of __init__ so the whitening-fallback ladder
+    (--wc_residual_action fallback) can rebuild it mid-run after a
+    config demotion."""
+    if self.cfg.device_data:
+      if self.mesh is not None:
+        return step_lib.make_sharded_dataset_step(
+            self.mesh, self.g, self.d, self._g_tx, self._d_tx,
+            self.gan_cfg, self.ds.batch_size,
+            steps_per_call=self._steps_per_call)
+      return step_lib.make_jit_dataset_step(
+          self.g, self.d, self._g_tx, self._d_tx, self.gan_cfg,
+          self.ds.batch_size, steps_per_call=self._steps_per_call)
+    if self.mesh is not None:
+      return step_lib.make_sharded_step(
+          self.mesh, self.g, self.d, self._g_tx, self._d_tx, self.gan_cfg)
+    return step_lib.make_jit_step(
+        self.g, self.d, self._g_tx, self._d_tx, self.gan_cfg)
+
+  def _build_samplers(self):
+    """(Re-)jit the sampling surfaces; they close over the G module, so a
+    fallback rebuild must refresh them too or cached traces would keep
+    sampling through the demoted configuration."""
+    g, gan_cfg = self.g, self.gan_cfg
 
     def sample(state: GANTrainState, z, labels):
       # Sample from the EMA generator when enabled (smoother weights for
@@ -175,7 +201,7 @@ class Trainer:
       params = state.g_ema if state.g_ema else state.g_params
       variables = {"params": params, **state.g_state}
       y = labels if gan_cfg.conditional else None
-      return self.g.apply(variables, z, y, train=False)
+      return g.apply(variables, z, y, train=False)
 
     self._sample = jax.jit(sample)
 
@@ -193,6 +219,13 @@ class Trainer:
     self._sample_u8 = jax.jit(sample_u8)
     self._standing_pass = None   # lazily-jitted train-mode stats probe
     self._standing_cache = None  # (g_ema ref, standing g_state)
+
+  def _rebuild_programs(self) -> None:
+    """Recompile every program that closes over the G module or GAN
+    config (step fn + sampling jits). One recompile at the next dispatch
+    — the same cost class as a resume."""
+    self.step_fn = self._make_step_fn()
+    self._build_samplers()
 
   def _epoch_batches(self) -> int:
     """Outer steps per epoch: explicit config, else dataset size / the
@@ -333,15 +366,87 @@ class Trainer:
         f"({where}: wc_whiten_residual_max = {resid:.2e}, cov cond "
         f"max = {cond:.3g}); increase --ns_iters or use "
         "--whitening_precision highest")
-    if self.cfg.wc_residual_action == "abort":
+    action = self.cfg.wc_residual_action
+    if action == "fallback":
+      if self._apply_whitening_fallback(epoch):
+        return
+      self.logger.line(
+          f"Epoch {epoch}: whitening-fallback ladder exhausted (already "
+          "at batch stats / 'd' norms / highest precision) — the breach "
+          "is an ns_iters-vs-conditioning problem no runtime demotion "
+          "fixes; aborting like 'abort'")
+      action = "abort"
+    if action == "abort":
       self.save_checkpoint(epoch)
       self.logger.line(
-          f"Epoch {epoch}: --wc_residual_action abort — checkpointed "
+          f"Epoch {epoch}: --wc_residual_action {action} — checkpointed "
           "and aborting (state preserved for post-mortem/resume)")
       raise FloatingPointError(
           f"whitening under-converged ({where}: residual {resid:.2e} > "
           f"{self.RESIDUAL_THRESHOLD:g}); aborted per "
-          "--wc_residual_action abort")
+          f"--wc_residual_action {self.cfg.wc_residual_action}")
+
+  def _apply_whitening_fallback(self, epoch: int) -> bool:
+    """One rung of the whitening-recovery ladder (--wc_residual_action
+    fallback): demote the active lagged-stats mechanism to its measured-
+    healthy equivalent instead of aborting — each rung targets a failure
+    mode measured at soak scale (docs/SOAK.md r4/r5). Checkpoints BEFORE
+    changing anything (the breached state stays on disk for post-mortem)
+    and recompiles once. Returns False when no rung is left — the breach
+    then cannot be a lagged-stats artifact and the guard aborts.
+
+    Ladder, in measured-likelihood order:
+      1. d_fake_stats running -> batch   (the r4/r5 EMA-lag drift source;
+         crosses 1e-2 at ~66k steps even with the 0.9-momentum
+         mitigation)
+      2. 'dr' norm codes -> 'd'          (same mechanism through EVERY
+         forward; measured feedback explosion inside ~2.5k steps)
+      3. whitening precision -> highest  (the 3-pass default's residual
+         floor is 20x the 6-pass one; at parity settings this is the
+         only knob left that acts on the residual itself)
+    """
+    from wcgan_tpu.ops import whiten as whiten_ops
+    if self.gan_cfg.d_fake_stats == "running":
+      self.save_checkpoint(epoch)
+      self.gan_cfg = dataclasses.replace(self.gan_cfg,
+                                         d_fake_stats="batch")
+      self._rebuild_programs()
+      self.logger.line(
+          f"Epoch {epoch}: --wc_residual_action fallback — demoting "
+          "d_fake_stats running -> batch (exact per-forward moments; "
+          "docs/SOAK.md r4/r5) and recompiling; training continues")
+      return True
+    g_cfg = getattr(self.g, "cfg", None)
+    if g_cfg is not None and "dr" in (getattr(g_cfg, "block_norm", ""),
+                                      getattr(g_cfg, "last_norm", "")):
+      self.save_checkpoint(epoch)
+      # 'dr' and 'd' share an identical param/stats tree — they differ
+      # only in WHICH stats feed the whiten at train time
+      # (ops/whiten.py::stats_select_and_ema), so the live state carries
+      # over unchanged.
+      new_cfg = dataclasses.replace(
+          g_cfg,
+          block_norm="d" if g_cfg.block_norm == "dr" else g_cfg.block_norm,
+          last_norm="d" if g_cfg.last_norm == "dr" else g_cfg.last_norm)
+      self.g = type(self.g)(cfg=new_cfg)
+      self._rebuild_programs()
+      self.logger.line(
+          f"Epoch {epoch}: --wc_residual_action fallback — demoting "
+          "generator 'dr' norm codes -> 'd' (batch-stat whitening; the "
+          "dr feedback explosion is measured at docs/SOAK.md r5) and "
+          "recompiling; training continues")
+      return True
+    if whiten_ops._PRECISION is not jax.lax.Precision.HIGHEST:
+      self.save_checkpoint(epoch)
+      whiten_ops.set_precision("highest")
+      self._rebuild_programs()
+      self.logger.line(
+          f"Epoch {epoch}: --wc_residual_action fallback — escalating "
+          "whitening precision high -> highest (6-pass MXU emulation, "
+          "~20x lower residual floor, ~4% step cost) and recompiling; "
+          "training continues")
+      return True
+    return False
 
   def _intra_epoch_probe(self, epoch: int, steps_done: int) -> None:
     """Whitening-health probe between step chains (--residual_probe_every):
