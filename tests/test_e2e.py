@@ -312,7 +312,9 @@ def test_wc_residual_action_fallback_running_demotes(tmp_path):
                  "--wc_momentum", "0.999",  # keep the planted cov alive
                  "--d_fake_stats", "running",
                  "--whitening_precision", "highest",
-                 "--wc_residual_action", "fallback"]
+                 "--wc_residual_action", "fallback",
+                 "--fallback_cooldown", "0"]  # deterministic per-epoch
+                                              # rung progression
   trainer = build_experiment(build_parser().parse_args(argv))
   _plant_ill_conditioned_cov(trainer)
   with pytest.raises(FloatingPointError, match="whitening under-converged"):
@@ -344,7 +346,8 @@ def test_wc_residual_action_fallback_dr_demotes(tmp_path):
                  "--generator_block_norm", "dr",
                  "--generator_last_norm", "dr",
                  "--whitening_precision", "highest",
-                 "--wc_residual_action", "fallback"]
+                 "--wc_residual_action", "fallback",
+                 "--fallback_cooldown", "0"]
   trainer = build_experiment(build_parser().parse_args(argv))
   _plant_ill_conditioned_cov(trainer)
   with pytest.raises(FloatingPointError, match="whitening under-converged"):
@@ -354,6 +357,35 @@ def test_wc_residual_action_fallback_dr_demotes(tmp_path):
   log = open(os.path.join(str(tmp_path / "o"), "fb_dr", "log.txt")).read()
   assert "demoting generator 'dr' norm codes -> 'd'" in log
   assert log.count("imgs/sec") == 2  # epoch 1 trained the rebuilt module
+
+
+def test_wc_residual_action_fallback_cooldown_suppresses(tmp_path):
+  """Recovery window (default --fallback_cooldown -1 = auto): after a
+  rung fires, later breaches inside ~5 EMA time constants must LOG but
+  not escalate — the probe measures running covariances, which only
+  re-converge at EMA speed, so without the window one transient would
+  burn the whole ladder. With wc_momentum 0.999 the auto window is 5000
+  outer steps >> this run, so epochs 1-2 re-breach (the planted cov is
+  kept alive) yet the run completes without an abort."""
+  from wcgan_tpu.cli.run import build_parser, build_experiment
+  argv = TINY + ["--output_dir", str(tmp_path / "o"),
+                 "--checkpoints_dir", str(tmp_path / "c"),
+                 "--number_of_epochs", "3", "--batches_per_epoch", "1",
+                 "--name", "fb_cool", "--checkpoint_ratio", "0",
+                 "--display_ratio", "0", "--ns_iters", "4",
+                 "--wc_momentum", "0.999",
+                 "--d_fake_stats", "running",
+                 "--whitening_precision", "highest",
+                 "--wc_residual_action", "fallback"]
+  trainer = build_experiment(build_parser().parse_args(argv))
+  _plant_ill_conditioned_cov(trainer)
+  trainer.train()  # must NOT raise: only rung 1 fires, then the window
+  assert trainer.gan_cfg.d_fake_stats == "batch"
+  log = open(os.path.join(str(tmp_path / "o"), "fb_cool", "log.txt")).read()
+  assert "demoting d_fake_stats running -> batch" in log
+  assert "fallback recovery window" in log
+  assert "ladder exhausted" not in log
+  assert log.count("imgs/sec") == 3  # all epochs trained
 
 
 def test_wc_residual_action_fallback_precision_escalates(tmp_path):

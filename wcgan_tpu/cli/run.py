@@ -185,6 +185,15 @@ def build_parser() -> argparse.ArgumentParser:
                       "(docs/SOAK.md) — 'abort'/'fallback' stop the "
                       "chip-time burn; 'fallback' rescues the run for "
                       "unattended long jobs")
+  p.add_argument("--fallback_cooldown", type=int, default=-1,
+                 help="outer steps after a fallback rung during which "
+                      "further breaches log a recovery line instead of "
+                      "escalating — the probe measures the RUNNING "
+                      "covariances, which re-converge only at EMA speed "
+                      "after a demotion, so without a window one "
+                      "transient would burn the whole ladder. -1 = auto "
+                      "(ceil(5/(1-wc_momentum)), five EMA time "
+                      "constants); 0 = escalate immediately")
   p.add_argument("--residual_probe_every", type=int, default=0,
                  help="ALSO probe whitening health every N outer steps "
                       "inside the epoch (0 = per-epoch only). The "
@@ -422,6 +431,7 @@ def build_experiment(args) -> Trainer:
       device_data_limit=args.device_data_limit,
       steps_per_call=args.steps_per_call,
       wc_residual_action=args.wc_residual_action,
+      fallback_cooldown=args.fallback_cooldown,
       residual_probe_every=args.residual_probe_every,
       ema_standing_batches=args.ema_standing_stats)
 

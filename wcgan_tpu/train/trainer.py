@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import concurrent.futures
 import dataclasses
+import math
 import os
 import time
 from typing import Any, Callable, Dict, Optional
@@ -70,6 +71,18 @@ class TrainerConfig:
                                 # running->batch, dr->d, then precision
                                 # ->highest; aborts only once the ladder
                                 # is exhausted — _apply_whitening_fallback)
+  fallback_cooldown: int = -1   # outer steps after a fallback rung during
+                                # which further breaches log a recovery
+                                # line instead of escalating: the probe
+                                # measures the RUNNING covariances, which
+                                # only re-converge at EMA speed after a
+                                # demotion (offset decays ~e^-1 per
+                                # 1/(1-wc_momentum) steps), so the next
+                                # probe would otherwise burn the rest of
+                                # the ladder on one transient. -1 = auto:
+                                # ceil(5/(1-wc_momentum)) (five time
+                                # constants ~= e^-5 residual decay);
+                                # 0 = escalate immediately
   residual_probe_every: int = 0  # ALSO probe whitening health every N
                                 # outer steps inside the epoch (0 = per
                                 # epoch only). The measured feedback
@@ -118,6 +131,11 @@ class Trainer:
         num_classes=gan_cfg.num_classes,
         g_ema=gan_cfg.g_ema_decay > 0.0)
 
+    self._outer_steps_done = 0      # monotone outer-step counter (probe
+                                    # bookkeeping only; optimizer step
+                                    # counts live in the train state)
+    self._fallback_cooldown_until = -1  # recovery-window deadline in
+                                    # _outer_steps_done units
     self._device_data = None
     self._window_elems = 0
     self._data_sharding = None
@@ -368,7 +386,18 @@ class Trainer:
         "--whitening_precision highest")
     action = self.cfg.wc_residual_action
     if action == "fallback":
+      if self._outer_steps_done < self._fallback_cooldown_until:
+        self.logger.line(
+            f"Epoch {epoch}: fallback recovery window — breach at outer "
+            f"step {self._outer_steps_done} is within "
+            f"{self._fallback_cooldown_until - self._outer_steps_done} "
+            "steps of the last demotion (the probe measures RUNNING "
+            "covariances, which re-converge at EMA speed); not "
+            "escalating")
+        return
       if self._apply_whitening_fallback(epoch):
+        self._fallback_cooldown_until = (
+            self._outer_steps_done + self._fallback_cooldown_steps())
         return
       self.logger.line(
           f"Epoch {epoch}: whitening-fallback ladder exhausted (already "
@@ -385,6 +414,17 @@ class Trainer:
           f"whitening under-converged ({where}: residual {resid:.2e} > "
           f"{self.RESIDUAL_THRESHOLD:g}); aborted per "
           f"--wc_residual_action {self.cfg.wc_residual_action}")
+
+  def _fallback_cooldown_steps(self) -> int:
+    """Recovery-window length after a fallback rung (see the
+    TrainerConfig.fallback_cooldown comment): explicit when configured,
+    else five EMA time constants of the stats momentum — the offset the
+    probe measures decays by ~e^-5 over that horizon, so a breach past
+    it is a live problem, not the old transient draining."""
+    if self.cfg.fallback_cooldown >= 0:
+      return self.cfg.fallback_cooldown
+    m = float(getattr(getattr(self.g, "cfg", None), "wc_momentum", 0.99))
+    return int(math.ceil(5.0 / max(1.0 - m, 1e-6)))
 
   def _apply_whitening_fallback(self, epoch: int) -> bool:
     """One rung of the whitening-recovery ladder (--wc_residual_action
@@ -663,6 +703,7 @@ class Trainer:
           self.state, metrics = self.step_fn(self.state,
                                              *self._device_data)
           metric_accum.append(metrics)
+          self._outer_steps_done += spc
           if probe_calls and (ci + 1) % probe_calls == 0 and ci + 1 < calls:
             self._intra_epoch_probe(epoch, (ci + 1) * spc)
       else:
@@ -672,6 +713,7 @@ class Trainer:
           self.state, metrics = self.step_fn(
               self.state, jnp.asarray(real), jnp.asarray(labels))
           metric_accum.append(metrics)  # device arrays; no per-step sync
+          self._outer_steps_done += 1
           if probe_n and (bi + 1) % probe_n == 0 and bi + 1 < batches:
             self._intra_epoch_probe(epoch, bi + 1)
       # One sync point per epoch.
