@@ -144,6 +144,25 @@ def stages_for(names, mfu_configs, attr_configs):
                  "--output_dir", "/tmp/soak_r5_out",
                  "--checkpoints_dir", "/tmp/soak_r5_ckpt",
                  "--name", "soak_dr_r5"], 2400))
+  if "fallbackdemo" in names:
+    # The r5 dr soak's measured feedback explosion (residual crosses
+    # 1e-2 inside ~2.5k outer steps, saturates 0.24 — docs/SOAK.md r5),
+    # re-run with --wc_residual_action fallback: the intra-epoch probe
+    # must catch the breach, rung 2 demote dr->d mid-run, the recovery
+    # window absorb the EMA-lag transient, and the remaining epochs
+    # train healthy — the ladder's design case, proven on the chip.
+    out.append(("fallback_demo_dr",
+                [py, "run.py", "--preset", "cifar10_cwc_resnet_proj",
+                 "--dataset", "synthetic", "--synthetic_size", "16384",
+                 "--batches_per_epoch", "500",
+                 "--number_of_epochs", "20", "--bf16", "--seed", "1",
+                 "--generator_block_norm", "dr",
+                 "--generator_last_norm", "dr",
+                 "--wc_residual_action", "fallback",
+                 "--residual_probe_every", "100",
+                 "--output_dir", "/tmp/soak_r5_out",
+                 "--checkpoints_dir", "/tmp/soak_r5_ckpt",
+                 "--name", "fallback_demo_r5"], 2400))
   if "soakrun" in names:
     # VERDICT r4 #3a: extend the mitigated running-stats soak to 100k
     # outer steps — does the residual plateau or cross 1e-2?

@@ -297,21 +297,21 @@ def test_residual_probe_every_fires_intra_epoch(tmp_path):
 
 
 def test_wc_residual_action_fallback_running_demotes(tmp_path):
-  """--wc_residual_action fallback, rung 1: a breach under
-  d_fake_stats=running demotes to batch stats (the measured EMA-lag
-  drift source, docs/SOAK.md r4/r5), recompiles, and KEEPS TRAINING;
-  once the ladder is exhausted a later breach aborts like 'abort'.
-  whitening_precision starts at highest so rung 3 is unavailable and
-  the exhaustion path is reachable in two epochs."""
+  """--wc_residual_action fallback, full ladder walk: a breach under
+  d_fake_stats=running demotes to batch stats (rung 1, the measured
+  EMA-lag drift source, docs/SOAK.md r4/r5), a second breach escalates
+  ns_iters x2 (rung 3 — the planted cond-1e6 cov is past even the
+  doubled envelope, so it stays breached), and the third exhausts the
+  ladder and aborts like 'abort'. Each rung recompiles and the next
+  epoch TRAINS through the rebuilt program."""
   from wcgan_tpu.cli.run import build_parser, build_experiment
   argv = TINY + ["--output_dir", str(tmp_path / "o"),
                  "--checkpoints_dir", str(tmp_path / "c"),
-                 "--number_of_epochs", "2", "--batches_per_epoch", "1",
+                 "--number_of_epochs", "3", "--batches_per_epoch", "1",
                  "--name", "fb_run", "--checkpoint_ratio", "0",
                  "--display_ratio", "0", "--ns_iters", "4",
                  "--wc_momentum", "0.999",  # keep the planted cov alive
                  "--d_fake_stats", "running",
-                 "--whitening_precision", "highest",
                  "--wc_residual_action", "fallback",
                  "--fallback_cooldown", "0"]  # deterministic per-epoch
                                               # rung progression
@@ -320,14 +320,16 @@ def test_wc_residual_action_fallback_running_demotes(tmp_path):
   with pytest.raises(FloatingPointError, match="whitening under-converged"):
     trainer.train()
   assert trainer.gan_cfg.d_fake_stats == "batch"  # rung 1 applied
+  assert trainer.g.cfg.ns_iters == 8              # rung 3 applied
   log = open(os.path.join(str(tmp_path / "o"), "fb_run", "log.txt")).read()
   assert "demoting d_fake_stats running -> batch" in log
+  assert "escalating ns_iters 4 -> 8" in log
   assert "ladder exhausted" in log
-  # Epoch 1 RAN on the rebuilt (batch-stats) program before exhausting:
-  # both epoch lines made it to the log.
-  assert log.count("imgs/sec") == 2
-  # Both guard checkpoints landed (pre-demotion + pre-abort states).
-  for e in ("epoch_0", "epoch_1"):
+  # Epochs 1-2 RAN on the rebuilt programs before exhausting: all three
+  # epoch lines made it to the log.
+  assert log.count("imgs/sec") == 3
+  # All guard checkpoints landed (pre-rung x2 + pre-abort states).
+  for e in ("epoch_0", "epoch_1", "epoch_2"):
     assert os.path.isdir(os.path.join(str(tmp_path / "c"), "fb_run", e))
 
 
@@ -335,7 +337,8 @@ def test_wc_residual_action_fallback_dr_demotes(tmp_path):
   """Rung 2: 'dr' norm codes demote to 'd' (the r5-measured feedback
   explosion), the G module is REBUILT, and the next epoch trains the
   existing state through the rebuilt programs — the param/stats tree
-  must carry over unchanged."""
+  must carry over unchanged. The epoch-1 breach then takes the ns rung
+  and the run COMPLETES (no abort in a 2-epoch run)."""
   from wcgan_tpu.cli.run import build_parser, build_experiment
   argv = TINY + ["--output_dir", str(tmp_path / "o"),
                  "--checkpoints_dir", str(tmp_path / "c"),
@@ -345,13 +348,11 @@ def test_wc_residual_action_fallback_dr_demotes(tmp_path):
                  "--wc_momentum", "0.999",
                  "--generator_block_norm", "dr",
                  "--generator_last_norm", "dr",
-                 "--whitening_precision", "highest",
                  "--wc_residual_action", "fallback",
                  "--fallback_cooldown", "0"]
   trainer = build_experiment(build_parser().parse_args(argv))
   _plant_ill_conditioned_cov(trainer)
-  with pytest.raises(FloatingPointError, match="whitening under-converged"):
-    trainer.train()
+  trainer.train()  # rungs 2 then 3 rescue; must NOT raise
   assert trainer.g.cfg.block_norm == "d"
   assert trainer.g.cfg.last_norm == "d"
   log = open(os.path.join(str(tmp_path / "o"), "fb_dr", "log.txt")).read()
@@ -388,30 +389,27 @@ def test_wc_residual_action_fallback_cooldown_suppresses(tmp_path):
   assert log.count("imgs/sec") == 3  # all epochs trained
 
 
-def test_wc_residual_action_fallback_precision_escalates(tmp_path):
-  """Rung 3: at parity settings (batch stats, 'd' norms) the only
-  residual-acting demotion left is whitening precision high -> highest;
-  the run then CONTINUES (no abort) — and the global precision is
-  restored afterwards so other tests see the default."""
+def test_wc_residual_action_fallback_ns_escalates(tmp_path):
+  """Rung 3: at parity settings (batch stats, 'd' norms) the
+  convergence-restoring rung doubles ns_iters — the measured envelope
+  rung (trace/ns15 residual 2.0e-1 at cond 5e4 vs 6.6e-3 for ns30;
+  docs/SOAK.md r5) — and the run CONTINUES (no abort). Whitening
+  precision is deliberately NOT a rung: its lever is the residual
+  FLOOR (6e-4 at high), and a breach is >1e-2 — floor-dominated
+  breaches cannot exist above it (proven live in the on-chip demo)."""
   from wcgan_tpu.cli.run import build_parser, build_experiment
-  from wcgan_tpu.ops import whiten as whiten_ops
   argv = TINY + ["--output_dir", str(tmp_path / "o"),
                  "--checkpoints_dir", str(tmp_path / "c"),
                  "--number_of_epochs", "1", "--batches_per_epoch", "1",
-                 "--name", "fb_prec", "--checkpoint_ratio", "0",
+                 "--name", "fb_ns", "--checkpoint_ratio", "0",
                  "--display_ratio", "0", "--ns_iters", "4",
-                 "--whitening_precision", "high",
                  "--wc_residual_action", "fallback"]
   trainer = build_experiment(build_parser().parse_args(argv))
   _plant_ill_conditioned_cov(trainer)
-  try:
-    trainer.train()  # must NOT raise: the rung rescues the run
-    import jax
-    assert whiten_ops._PRECISION is jax.lax.Precision.HIGHEST
-  finally:
-    whiten_ops.set_precision("high")
-  log = open(os.path.join(str(tmp_path / "o"), "fb_prec", "log.txt")).read()
-  assert "escalating whitening precision high -> highest" in log
+  trainer.train()  # must NOT raise: the rung fires and the epoch ends
+  assert trainer.g.cfg.ns_iters == 8
+  log = open(os.path.join(str(tmp_path / "o"), "fb_ns", "log.txt")).read()
+  assert "escalating ns_iters 4 -> 8" in log
   assert "aborting" not in log
 
 

@@ -175,11 +175,13 @@ def build_parser() -> argparse.ArgumentParser:
                       "(or goes non-finite): 'warn' = log and continue "
                       "(default), 'abort' = checkpoint + loud stop like "
                       "the NaN path, 'fallback' = checkpoint, demote "
-                      "the active lagged-stats mechanism to its "
-                      "measured-healthy equivalent and keep training "
-                      "(d_fake_stats running->batch, then 'dr' norms "
-                      "->'d', then whitening precision ->highest; "
-                      "aborts once the ladder is exhausted). The "
+                      "the active lagged-stats mechanism / escalate NS "
+                      "convergence and keep training (d_fake_stats "
+                      "running->batch, then 'dr' norms ->'d', then "
+                      "ns_iters x2 once — the doubling extends the NS "
+                      "convergence envelope ~25x in conditioning, "
+                      "docs/SOAK.md r5; aborts once the ladder is "
+                      "exhausted). The "
                       "measured ns12 feedback explosion kills a run "
                       "scientifically while losses still look healthy "
                       "(docs/SOAK.md) — 'abort'/'fallback' stop the "

@@ -66,11 +66,11 @@ class TrainerConfig:
                                 # scientifically while losses still look
                                 # healthy, docs/SOAK.md), or 'fallback'
                                 # (checkpoint, then demote the active
-                                # lagged-stats mechanism to its measured-
-                                # healthy equivalent and keep training:
-                                # running->batch, dr->d, then precision
-                                # ->highest; aborts only once the ladder
-                                # is exhausted — _apply_whitening_fallback)
+                                # lagged-stats mechanism / escalate NS
+                                # convergence and keep training:
+                                # running->batch, dr->d, then ns_iters
+                                # x2; aborts only once the ladder is
+                                # exhausted — _apply_whitening_fallback)
   fallback_cooldown: int = -1   # outer steps after a fallback rung during
                                 # which further breaches log a recovery
                                 # line instead of escalating: the probe
@@ -136,6 +136,8 @@ class Trainer:
                                     # counts live in the train state)
     self._fallback_cooldown_until = -1  # recovery-window deadline in
                                     # _outer_steps_done units
+    self._ns_escalated = False      # the ns_iters fallback rung fires
+                                    # once (ns60 == ns30 measured)
     self._device_data = None
     self._window_elems = 0
     self._data_sharding = None
@@ -401,9 +403,9 @@ class Trainer:
         return
       self.logger.line(
           f"Epoch {epoch}: whitening-fallback ladder exhausted (already "
-          "at batch stats / 'd' norms / highest precision) — the breach "
-          "is an ns_iters-vs-conditioning problem no runtime demotion "
-          "fixes; aborting like 'abort'")
+          "at batch stats / 'd' norms / escalated ns_iters) — the "
+          "conditioning is past the doubled-NS convergence envelope "
+          "(~1e5 at eps=1e-5, the jitter floor); aborting like 'abort'")
       action = "abort"
     if action == "abort":
       self.save_checkpoint(epoch)
@@ -441,11 +443,22 @@ class Trainer:
          mitigation)
       2. 'dr' norm codes -> 'd'          (same mechanism through EVERY
          forward; measured feedback explosion inside ~2.5k steps)
-      3. whitening precision -> highest  (the 3-pass default's residual
-         floor is 20x the 6-pass one; at parity settings this is the
-         only knob left that acts on the residual itself)
+      3. ns_iters x2, once               (restores CONVERGENCE: the f32
+         envelope study pins trace/ns15 at 2.0e-1 residual on cond-5e4
+         covariances — exactly the on-chip demo's breach-time
+         conditioning — vs 6.6e-3 for ns30, i.e. the doubling extends
+         the convergence envelope ~25x in conditioning. Once only:
+         ns60 == ns30 to 3 digits at every tested conditioning — the
+         plateau is the eps*cond jitter floor, not iteration count or
+         f32 rounding (f64 matches), so a second doubling buys nothing
+         and cond >~1e5 is unrescuable at eps=1e-5. docs/SOAK.md r5)
+
+    NOT a rung: whitening precision high -> highest. Its lever is the
+    ~20x lower RESIDUAL FLOOR (6e-4 -> ~3e-5), but a breach is >1e-2 —
+    floor-dominated breaches cannot exist above HIGH's floor, and the
+    on-chip demo measured the escalation doing nothing mid-explosion
+    (residual 1.15e-1 -> 1.78e-1 across the rung; docs/SOAK.md r5).
     """
-    from wcgan_tpu.ops import whiten as whiten_ops
     if self.gan_cfg.d_fake_stats == "running":
       self.save_checkpoint(epoch)
       self.gan_cfg = dataclasses.replace(self.gan_cfg,
@@ -476,15 +489,18 @@ class Trainer:
           "dr feedback explosion is measured at docs/SOAK.md r5) and "
           "recompiling; training continues")
       return True
-    if whiten_ops._PRECISION is not jax.lax.Precision.HIGHEST:
+    if g_cfg is not None and not self._ns_escalated:
       self.save_checkpoint(epoch)
-      whiten_ops.set_precision("highest")
+      new_iters = 2 * g_cfg.ns_iters
+      self.g = type(self.g)(cfg=dataclasses.replace(
+          g_cfg, ns_iters=new_iters))
+      self._ns_escalated = True
       self._rebuild_programs()
       self.logger.line(
           f"Epoch {epoch}: --wc_residual_action fallback — escalating "
-          "whitening precision high -> highest (6-pass MXU emulation, "
-          "~20x lower residual floor, ~4% step cost) and recompiling; "
-          "training continues")
+          f"ns_iters {g_cfg.ns_iters} -> {new_iters} (doubling extends "
+          "the NS convergence envelope ~25x in covariance conditioning; "
+          "~4-5% step cost) and recompiling; training continues")
       return True
     return False
 
